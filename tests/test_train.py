@@ -1,0 +1,211 @@
+"""Training-layer tests: loss composition per method, optimization smoke
+tests, data-parallel sharding equivalence, ensemble vmap."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multivae_tpu.models import build_model, make_modalities
+from multivae_tpu.train import Config
+from multivae_tpu.train.losses import total_loss
+from multivae_tpu.train.train_step import (
+    init_train_state,
+    make_ensemble_train_step,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+B = 32
+
+
+def make_cfg(method="joint_elbo", **kw):
+    kw.setdefault("input_dim", [7, 20])
+    kw.setdefault("style_dim", [3, 4])
+    kw.setdefault("beta", 1.0)
+    kw.setdefault("initial_learning_rate", 1e-2)
+    cfg = Config(method=method, class_dim=5, hidden_dim=32,
+                 num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
+                 **kw)
+    return cfg.derive()
+
+
+def correlated_batch(cfg, b=B, seed=0):
+    """Two blocks driven by a shared latent factor."""
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(b, 3)).astype(np.float32)
+    w1 = rng.normal(size=(3, cfg.input_dim[0])).astype(np.float32)
+    w2 = rng.normal(size=(3, cfg.input_dim[1])).astype(np.float32)
+    x1 = z @ w1 + 0.1 * rng.normal(size=(b, cfg.input_dim[0])).astype(np.float32)
+    x2 = z @ w2 + 0.1 * rng.normal(size=(b, cfg.input_dim[1])).astype(np.float32)
+    return {"clinical": jnp.asarray(x1), "rois": jnp.asarray(x2)}
+
+
+def setup(cfg, batch, seed=0):
+    model = build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
+                                             cfg.likelihood))
+    params, opt_state = init_train_state(cfg, model, batch, seed=seed)
+    return model, params, opt_state
+
+
+class TestLossComposition:
+    @pytest.mark.parametrize("method", ["moe", "jsd", "joint_elbo"])
+    def test_mixture_methods_formula(self, method):
+        cfg = make_cfg(method, beta=2.0, beta_style=1.5, beta_content=0.5)
+        batch = correlated_batch(cfg)
+        model, params, _ = setup(cfg, batch)
+        variables = {"params": params}
+        out = model.apply(variables, batch,
+                          rngs={"sample": jax.random.PRNGKey(0)})
+        loss, m = total_loss(cfg, model, variables, batch, out,
+                             jax.random.PRNGKey(1))
+        rec = m["log_prob/clinical"] + m["log_prob/rois"]
+        kld_style = cfg.beta_style * (m["kld_style/clinical_style"]
+                                      + m["kld_style/rois_style"])
+        want = rec + cfg.beta * (cfg.beta_style * kld_style
+                                 + cfg.beta_content * m["joint_divergence"])
+        np.testing.assert_allclose(loss, want, rtol=1e-5)
+
+    def test_poe_includes_unimodal_elbos(self):
+        cfg = make_cfg("poe", beta=2.0, beta_style=1.5, beta_content=0.5)
+        batch = correlated_batch(cfg)
+        model, params, _ = setup(cfg, batch)
+        variables = {"params": params}
+        out = model.apply(variables, batch,
+                          rngs={"sample": jax.random.PRNGKey(0)})
+        loss, m = total_loss(cfg, model, variables, batch, out,
+                             jax.random.PRNGKey(1))
+        # joint part
+        w_style = cfg.beta_style * (m["kld_style/clinical_style"]
+                                    + m["kld_style/rois_style"])
+        joint = (m["log_prob/clinical"] + m["log_prob/rois"]
+                 + cfg.beta * (cfg.beta_content * m["joint_divergence"]
+                               + cfg.beta_style * w_style))
+        # unimodal parts
+        unis = 0.0
+        for mod in ("clinical", "rois"):
+            div = (cfg.beta_content * m[f"kld/{mod}"]
+                   + cfg.beta_style * cfg.beta_style
+                   * m[f"kld_style/{mod}_style"])
+            unis = unis + m[f"log_prob_uni/{mod}"] + cfg.beta * div
+        np.testing.assert_allclose(loss, joint + unis, rtol=1e-5)
+
+    def test_unfactorized_has_no_style_terms(self):
+        cfg = make_cfg("joint_elbo", factorized_representation=False)
+        batch = correlated_batch(cfg)
+        model, params, _ = setup(cfg, batch)
+        variables = {"params": params}
+        out = model.apply(variables, batch,
+                          rngs={"sample": jax.random.PRNGKey(0)})
+        loss, m = total_loss(cfg, model, variables, batch, out,
+                             jax.random.PRNGKey(1))
+        assert not any(k.startswith("kld_style") for k in m)
+        want = (m["log_prob/clinical"] + m["log_prob/rois"]
+                + cfg.beta * cfg.beta_content * m["joint_divergence"])
+        np.testing.assert_allclose(loss, want, rtol=1e-5)
+
+
+class TestOptimization:
+    @pytest.mark.parametrize("method", ["moe", "poe", "jsd", "joint_elbo"])
+    def test_loss_decreases(self, method):
+        cfg = make_cfg(method)
+        batch = correlated_batch(cfg)
+        model, params, opt_state = setup(cfg, batch)
+        step = make_train_step(cfg, model, donate=False)
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(60):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss, _ = step(params, opt_state, batch, sub)
+            losses.append(float(loss))
+        assert np.mean(losses[-10:]) < np.mean(losses[:10]), method
+
+    def test_missing_modality_batches_train(self):
+        cfg = make_cfg("joint_elbo")
+        full = correlated_batch(cfg)
+        model, params, opt_state = setup(cfg, full)
+        step = make_train_step(cfg, model, donate=False)
+        rng = jax.random.PRNGKey(0)
+        # alternate complete and clinical-only batches, as the reference
+        # sampler yields subset-homogeneous batches
+        for i in range(10):
+            rng, sub = jax.random.split(rng)
+            batch = full if i % 2 == 0 else {"clinical": full["clinical"]}
+            params, opt_state, loss, _ = step(params, opt_state, batch, sub)
+        assert np.isfinite(float(loss))
+
+    def test_fixed_scale_param_not_updated(self):
+        cfg = make_cfg("joint_elbo", learn_output_scale=False)
+        batch = correlated_batch(cfg)
+        model, params, opt_state = setup(cfg, batch)
+        step = make_train_step(cfg, model, donate=False)
+        before = np.asarray(params["dec_clinical"]["out_logvar"]).copy()
+        params, _, _, _ = step(params, opt_state, batch, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(params["dec_clinical"]["out_logvar"],
+                                   before)
+
+    def test_learned_scale_param_updated(self):
+        cfg = make_cfg("joint_elbo", learn_output_scale=True)
+        batch = correlated_batch(cfg)
+        model, params, opt_state = setup(cfg, batch)
+        step = make_train_step(cfg, model, donate=False)
+        before = np.asarray(params["dec_clinical"]["out_logvar"]).copy()
+        params, _, _, _ = step(params, opt_state, batch, jax.random.PRNGKey(0))
+        assert np.abs(np.asarray(params["dec_clinical"]["out_logvar"])
+                      - before).max() > 0
+
+
+class TestEvalStep:
+    def test_eval_matches_loss(self):
+        cfg = make_cfg("joint_elbo")
+        batch = correlated_batch(cfg)
+        model, params, _ = setup(cfg, batch)
+        eval_step = make_eval_step(cfg, model)
+        loss, metrics = eval_step(params, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        assert "kld/clinical_rois" in metrics
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_single_device(self):
+        cfg = make_cfg("joint_elbo", dropout_rate=0.0)
+        batch = correlated_batch(cfg)
+        model, params, opt_state = setup(cfg, batch)
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+        step_sharded = make_train_step(cfg, model, mesh=mesh, donate=False)
+        step_plain = make_train_step(cfg, model, donate=False)
+        rng = jax.random.PRNGKey(0)
+        p1, _, l1, _ = step_plain(params, opt_state, batch, rng)
+        p2, _, l2, _ = step_sharded(params, opt_state, batch, rng)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+        a = jax.tree_util.tree_leaves(p1)[0]
+        b = jax.tree_util.tree_leaves(p2)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+class TestEnsemble:
+    def test_vmapped_ensemble_matches_sequential(self):
+        cfg = make_cfg("joint_elbo", num_models=2)
+        batch0 = correlated_batch(cfg, seed=0)
+        batch1 = correlated_batch(cfg, seed=1)
+        model, params0, opt0 = setup(cfg, batch0, seed=0)
+        _, params1, opt1 = setup(cfg, batch1, seed=1)
+        stack = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.stack([x, y]), a, b)
+        params = stack(params0, params1)
+        opt_state = stack(opt0, opt1)
+        batches = stack(batch0, batch1)
+        rngs = jnp.stack([jax.random.PRNGKey(5), jax.random.PRNGKey(6)])
+
+        ens_step = make_ensemble_train_step(cfg, model)
+        new_params, _, losses, _ = ens_step(params, opt_state, batches, rngs)
+
+        step = make_train_step(cfg, model, donate=False)
+        _, _, l0, _ = step(params0, opt0, batch0, jax.random.PRNGKey(5))
+        _, _, l1, _ = step(params1, opt1, batch1, jax.random.PRNGKey(6))
+        np.testing.assert_allclose(np.asarray(losses),
+                                   [float(l0), float(l1)], rtol=1e-4)
