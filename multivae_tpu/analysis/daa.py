@@ -1,0 +1,373 @@
+"""Digital Avatars Analysis (DAA).
+
+Reference: ``experiments/workflow.py:185-539`` (``daa_exp``). The pipeline:
+perturb one clinical score at a time with artificial values, decode ROI
+"avatars" through the trained model, regress each avatar ROI on the perturbed
+score per validation round, and vote Bonferroni-significant score→ROI
+associations across rounds (and ensemble members).
+
+TPU-first redesign of the two hot loops:
+
+* the reference's ``M=1000`` averaging passes and the
+  ``n_samples × n_scores`` decode sweep (``workflow.py:388-419``) are Python
+  loops of full model calls; here they are ``lax.map``-batched vmapped forward
+  passes — every (sample, score) decode keeps its own batch of ``n_subjects``
+  rows so the joint-mixture partition semantics match the reference's
+  per-call behavior exactly;
+* the ``n_scores × n_rois`` statsmodels regression stage
+  (``workflow.py:448-505``) becomes closed-form einsum algebra
+  (:func:`multivae_tpu.analysis.stats.hierarchical_regression_batch`).
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from numpy.lib.format import open_memmap
+
+from ..utils.colors import print_result, print_subtitle, print_text, print_title
+from .stats import (
+    fixed_regression_batch,
+    hierarchical_regression_batch,
+    make_regression,
+)
+
+SAMPLING_STRATEGIES = ("linear", "uniform", "gaussian", "likelihood")
+
+
+def params_namespace(n_validation, n_subjects, M, n_samples, reg_method,
+                     sampling_strategy, sample_latents, seed):
+    """Result-directory naming namespace (``workflow.py:251-262``)."""
+    return SimpleNamespace(
+        n_validation=n_validation, n_subjects=n_subjects, M=M,
+        n_samples=n_samples, reg_method=reg_method,
+        sampling=sampling_strategy, sample_latents=sample_latents, seed=seed)
+
+
+def resdir_name(params: SimpleNamespace) -> str:
+    return "_".join("_".join([key, str(val)])
+                    for key, val in params.__dict__.items())
+
+
+def complete_indices(dataset) -> np.ndarray:
+    """Dataset indices whose samples carry every modality."""
+    return np.asarray(dataset.idx_per_modality_subset[-1])
+
+
+def full_batch(dataset, idxs):
+    data, _, metadata = dataset.gather(idxs)
+    return {k: jnp.asarray(v) for k, v in data.items()}, metadata
+
+
+def reconstruction_stats(model, params, data, M: int, rng,
+                         chunk: int = 32):
+    """Mean clinical loc/scale and rois loc over ``M`` stochastic
+    reconstruction passes (``workflow.py:385-398``)."""
+
+    def one(key):
+        out = model.apply({"params": params}, data, sample_latents=True,
+                          rngs={"sample": key})
+        return (out["rec"]["clinical"][0], out["rec"]["clinical"][1],
+                out["rec"]["rois"][0])
+
+    keys = jax.random.split(rng, M)
+    locs, scales, rois = jax.lax.map(one, keys,
+                                     batch_size=min(chunk, M))
+    return locs.mean(0), scales.mean(0), rois.mean(0)
+
+
+def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
+                 rng, chunk: int = 16):
+    """Decode ROI avatars for every (sample, score) perturbation.
+
+    ``scores_values``: ``[n_samples, B, n_scores]`` artificial values (the
+    likelihood-strategy layout; other strategies are transposed into it).
+    Returns avatars ``[B, n_scores, n_samples, n_rois]`` matching the
+    reference memmap layout (``workflow.py:380-419``).
+
+    Each (sample, score) cell is one vmapped forward pass over the original
+    ``B``-row batch, so mixture-selection partitioning is identical to the
+    reference's per-call ``model(modified_data)``.
+    """
+    n_samples, b, n_scores = scores_values.shape
+    clinical = data["clinical"]
+    eye = jnp.eye(n_scores, dtype=clinical.dtype)
+    scores_values = jnp.asarray(scores_values)
+
+    def one(args):
+        cell, key = args
+        sample_idx = cell // n_scores
+        score_idx = cell % n_scores
+        col = scores_values[sample_idx, :, score_idx]  # [B]
+        mask = eye[score_idx]  # [n_scores]
+        cdata = clinical * (1.0 - mask)[None, :] + col[:, None] * mask[None, :]
+        out = model.apply({"params": params},
+                          {"clinical": cdata, "rois": data["rois"]},
+                          sample_latents=sample_latents,
+                          rngs={"sample": key})
+        return out["rec"]["rois"][0]  # [B, n_rois]
+
+    cells = jnp.arange(n_samples * n_scores)
+    keys = jax.random.split(rng, n_samples * n_scores)
+    rois = jax.lax.map(one, (cells, keys),
+                       batch_size=min(chunk, n_samples * n_scores))
+    # [n_samples*n_scores, B, R] -> [B, n_scores, n_samples, R]
+    rois = rois.reshape(n_samples, n_scores, b, -1)
+    return jnp.transpose(rois, (2, 1, 0, 3))
+
+
+def sample_artificial_scores(strategy: str, clinical_values: np.ndarray,
+                             n_samples: int, n_subjects: int,
+                             rng: np.random.Generator):
+    """Population-level artificial score values for the non-likelihood
+    strategies (``workflow.py:337-354``). Returns
+    ``[n_subjects, n_scores, n_samples]``."""
+    n_scores = clinical_values.shape[1]
+    min_per_score, max_per_score = np.quantile(
+        clinical_values, [0.05, 0.95], 0)
+    if strategy == "linear":
+        grid = np.linspace(min_per_score, max_per_score, n_samples)  # [P, S]
+        return np.repeat(grid.T[np.newaxis], n_subjects, axis=0)
+    if strategy == "uniform":
+        return rng.uniform(min_per_score[None, :, None],
+                           max_per_score[None, :, None],
+                           size=(n_subjects, n_scores, n_samples))
+    if strategy == "gaussian":
+        return rng.normal(0.0, 1.0, size=(n_subjects, n_scores, n_samples))
+    raise ValueError(f"unknown sampling strategy {strategy}")
+
+
+def run_daa(experiment, cfg, datasetdir: str, daadir: str,
+            sampling_strategy: str = "likelihood", n_validation: int = 5,
+            n_samples: int = 200, n_subjects: int = 50, M: int = 1000,
+            trust_level: float = 0.75, seed: Optional[int] = 1037,
+            reg_method: str = "hierarchical", sample_latents: bool = True,
+            vote_prop: float = 1.0, chunk: int = 16) -> str:
+    """Full DAA pipeline; returns the result directory."""
+    if sampling_strategy not in SAMPLING_STRATEGIES:
+        raise ValueError("sampling_strategy must be either linear, uniform"
+                         "gaussian or likelihood")
+    n_models = cfg.num_models
+    clinical_names = np.load(os.path.join(datasetdir, "clinical_names.npy"),
+                             allow_pickle=True)
+    rois_names = np.load(os.path.join(datasetdir, "rois_names.npy"),
+                         allow_pickle=True)
+    n_scores = len(clinical_names)
+    n_rois = len(rois_names)
+    print_text(f"number of ROIs: {n_rois}")
+    print_text(f"number of clinical scores: {n_scores}")
+
+    params_ns = params_namespace(n_validation, n_subjects, M, n_samples,
+                                 reg_method, sampling_strategy,
+                                 sample_latents, seed)
+    resdir = os.path.join(daadir, resdir_name(params_ns))
+    os.makedirs(resdir, exist_ok=True)
+
+    np_rng = np.random.default_rng(seed)
+    base_key = jax.random.PRNGKey(seed if seed is not None else 0)
+
+    da_file = os.path.join(resdir, "rois_digital_avatars.npy")
+    shape = (n_models, n_validation, n_subjects, n_scores, n_samples, n_rois)
+    if n_models == 1:
+        shape = shape[1:]
+    rois_digital_avatars = open_memmap(da_file, dtype="float32", mode="w+",
+                                       shape=shape)
+
+    all_sampled_scores, all_metadatas, all_rois_reconstructions = [], [], []
+    metadata_columns = None
+
+    for model_idx in range(n_models):
+        trainset = experiment.dataset_train
+        testset = experiment.dataset_test
+        if n_models > 1:
+            trainset = trainset[model_idx]
+            testset = testset[model_idx]
+        params = experiment.params[model_idx]
+        model = experiment.model
+        print_text(f"train data: {len(trainset)}")
+        print_text(f"test data: {len(testset)}")
+
+        train_data, _ = full_batch(trainset, complete_indices(trainset))
+        clinical_values = np.asarray(train_data["clinical"])
+
+        scores_grid = None
+        if sampling_strategy != "likelihood":
+            print_text("Build the artificial values using population level "
+                       "statistics")
+            scores_grid = sample_artificial_scores(
+                sampling_strategy, clinical_values, n_samples, n_subjects,
+                np_rng)  # [B, S, P]
+
+        test_complete = complete_indices(testset)
+        sampled_scores, metadatas, rois_recs = [], [], []
+        for val_idx in range(n_validation):
+            print_text(f"validation round {val_idx + 1}/{n_validation}")
+            sel = np_rng.choice(test_complete, size=min(
+                n_subjects, len(test_complete)), replace=False)
+            data, metadata = full_batch(testset, sel)
+            metadata_columns = list(metadata.columns)
+            metadatas.append(metadata.to_numpy())
+
+            key = jax.random.fold_in(base_key, 1000 * model_idx + val_idx)
+            k_rec, k_sample, k_sweep = jax.random.split(key, 3)
+            loc_hat, scale_hat, rois_reconstruction = reconstruction_stats(
+                model, params, data, M, k_rec, chunk=chunk)
+            rois_recs.append(np.asarray(rois_reconstruction))
+
+            if sampling_strategy == "likelihood":
+                eps = jax.random.normal(
+                    k_sample, (n_samples,) + loc_hat.shape, loc_hat.dtype)
+                scores_values = loc_hat[None] + scale_hat[None] * eps
+            else:
+                # [B, S, P] -> [P, B, S]
+                scores_values = jnp.transpose(
+                    jnp.asarray(scores_grid, dtype=jnp.float32), (2, 0, 1))
+
+            avatars = avatar_sweep(model, params, data, scores_values,
+                                   sample_latents, k_sweep, chunk=chunk)
+            if n_models == 1:
+                rois_digital_avatars[val_idx] = np.asarray(avatars)
+            else:
+                rois_digital_avatars[model_idx, val_idx] = np.asarray(avatars)
+            # stored layout: [B, n_samples, n_scores] (workflow.py:420-422)
+            sampled_scores.append(
+                np.swapaxes(np.asarray(scores_values), 0, 1))
+        all_sampled_scores.append(sampled_scores)
+        all_metadatas.append(metadatas)
+        all_rois_reconstructions.append(rois_recs)
+
+    if n_models == 1:
+        all_sampled_scores = all_sampled_scores[0]
+        all_metadatas = all_metadatas[0]
+        all_rois_reconstructions = all_rois_reconstructions[0]
+    all_sampled_scores = np.asarray(all_sampled_scores)
+    all_rois_reconstructions = np.asarray(all_rois_reconstructions)
+    rois_digital_avatars.flush()
+    del rois_digital_avatars
+    np.save(os.path.join(resdir, "sampled_scores.npy"), all_sampled_scores)
+    np.save(os.path.join(resdir, "metadatas.npy"),
+            np.asarray(all_metadatas, dtype=object))
+    np.save(os.path.join(resdir, "rois_reconstructions.npy"),
+            all_rois_reconstructions)
+
+    compute_significativity(
+        resdir, cfg, clinical_names, rois_names, params_ns,
+        metadata_columns, trust_level, vote_prop, reg_method)
+    return resdir
+
+
+def compute_significativity(resdir: str, cfg, clinical_names, rois_names,
+                            params_ns, metadata_columns, trust_level: float,
+                            vote_prop: float, reg_method: str):
+    """Regression + voting stage (``workflow.py:443-539``); reads the saved
+    avatar artifacts so it can be re-run standalone."""
+    n_models = cfg.num_models
+    n_scores = len(clinical_names)
+    n_rois = len(rois_names)
+    n_validation = params_ns.n_validation
+    n_samples = params_ns.n_samples
+
+    rois_da = np.load(os.path.join(resdir, "rois_digital_avatars.npy"),
+                      mmap_mode="r")
+    all_sampled_scores = np.load(os.path.join(resdir, "sampled_scores.npy"))
+    all_metadatas = np.load(os.path.join(resdir, "metadatas.npy"),
+                            allow_pickle=True)
+    all_rois_recs = np.load(os.path.join(resdir, "rois_reconstructions.npy"))
+    if n_models == 1:
+        rois_da = rois_da[np.newaxis]
+        all_sampled_scores = all_sampled_scores[np.newaxis]
+        all_metadatas = all_metadatas[np.newaxis]
+        all_rois_recs = all_rois_recs[np.newaxis]
+
+    participant_id_idx = metadata_columns.index("participant_id")
+    site_idx = metadata_columns.index("site")
+    modified_rois_names = [str(n).replace("&", "_").replace("-", "_")
+                           for n in rois_names]
+
+    print_subtitle("Compute statistics (regression): digital avatar wrt "
+                   "sampled scores...")
+    coefs = np.zeros((n_models, n_validation, n_scores, n_rois))
+    pvalues = np.zeros((n_models, n_validation, n_scores, n_rois))
+    all_coefs = []
+    for model_idx in range(n_models):
+        all_coefs.append([])
+        for val_idx in range(n_validation):
+            avatars = np.asarray(rois_da[model_idx, val_idx])
+            scores_values = all_sampled_scores[model_idx, val_idx]
+            metadata = all_metadatas[model_idx][val_idx]
+            rois_rec = all_rois_recs[model_idx, val_idx]
+            all_coefs[model_idx].append([])
+            for score_idx in range(n_scores):
+                x = scores_values[:, :, score_idx]          # [B, P]
+                y = avatars[:, score_idx, :, :]             # [B, P, R]
+                if reg_method == "hierarchical":
+                    pvals, cfs, betas = hierarchical_regression_batch(x, y)
+                    # per-score record: participant_id, site, per-roi betas
+                    # (contract consumed by the ANOVA workflow,
+                    # workflow.py:628-637)
+                    rec = np.concatenate([
+                        metadata[:, [participant_id_idx, site_idx]],
+                        betas.astype(object)], axis=1)
+                    all_coefs[model_idx][val_idx].append(rec)
+                elif reg_method == "fixed":
+                    diff = (y - rois_rec[:, None, :]).reshape(-1, n_rois)
+                    pvals, cfs = fixed_regression_batch(x.reshape(-1), diff)
+                else:  # mixed — host-side REML per (score, roi)
+                    pvals = np.zeros(n_rois)
+                    cfs = np.zeros(n_rois)
+                    pid = np.repeat(metadata[:, participant_id_idx, None],
+                                    n_samples, axis=1).flatten()
+                    for roi_idx in range(n_rois):
+                        df = pd.DataFrame({
+                            "participant_id": pid,
+                            "sampled_score": x.flatten(),
+                            "roi_avatar": y[:, :, roi_idx].flatten()})
+                        p, c, _ = make_regression(
+                            df, "sampled_score", "roi_avatar",
+                            groups_name="participant_id", method="mixed")
+                        pvals[roi_idx], cfs[roi_idx] = p, c
+                pvalues[model_idx, val_idx, score_idx] = pvals
+                coefs[model_idx, val_idx, score_idx] = cfs
+
+    out_pvalues, out_coefs = pvalues, coefs
+    out_all_coefs = all_coefs
+    if n_models == 1:
+        out_pvalues = pvalues[0]
+        out_coefs = coefs[0]
+        out_all_coefs = all_coefs[0]
+    np.save(os.path.join(resdir, "pvalues.npy"), out_pvalues)
+    np.save(os.path.join(resdir, "coefs.npy"), out_coefs)
+    if reg_method == "hierarchical":
+        np.save(os.path.join(resdir, "all_coefs.npy"),
+                np.asarray(out_all_coefs, dtype=object))
+    print_text(f"p_values: {out_pvalues.shape}")
+    print_text(f"regression coefficients: {out_coefs.shape}")
+
+    print_subtitle("Compute statistics significativity...")
+    significativity_thr = 0.05 / n_rois / n_scores
+    vote_level = n_validation * trust_level
+    print_text(f"voting trust level: {vote_level} / {n_validation}")
+    idx_sign = ((pvalues < significativity_thr).sum(axis=1) >= vote_level)
+    idx_sign = idx_sign.sum(0) >= vote_prop * n_models
+
+    data = {"metric": [], "roi": [], "score": []}
+    for idx, score in enumerate(clinical_names):
+        rois_idx = np.where(idx_sign[idx])
+        for name in np.asarray(rois_names)[rois_idx]:
+            name, metric = str(name).rsplit("_", 1)
+            data["score"].append(score)
+            data["metric"].append(metric)
+            data["roi"].append(name)
+    df = pd.DataFrame.from_dict(data)
+    significant_file = os.path.join(resdir, "significant_rois.tsv")
+    df.to_csv(significant_file, sep="\t", index=False)
+    print_result(f"significant ROIs: {significant_file}")
+    if len(df):
+        print(df.groupby(["metric", "score"]).count())
+    return df

@@ -1,0 +1,270 @@
+"""Statistics utilities: similarity matrices, RSA, linear-model fits.
+
+Reference: ``experiments/stat_utils.py`` (``data2cmat`` ``:25-32``,
+``vec2cmat`` ``:45-53``, ``make_regression`` ``:55-79``, ``fit_rsa``
+``:81-95``). statsmodels is not available in this image, so the three
+regression designs are implemented natively:
+
+* ``fixed``   — OLS with a two-sided t-test on the slope (closed form);
+* ``mixed``   — random-intercept linear mixed model fit by REML (1-D profile
+  over the variance ratio) with a Wald z-test, statsmodels-MixedLM style;
+* ``hierarchical`` — per-group OLS slopes, then a one-sample t-test on the
+  betas (OLS ``beta ~ 1``), exactly the reference's two-level scheme.
+
+For the DAA hot loop (≈62k hierarchical fits in the reference) the
+closed-form slope/t-test algebra is also exposed as batched einsum kernels
+(:func:`hierarchical_regression_batch`, :func:`fixed_regression_batch`) that
+evaluate every (score, ROI) cell at once on the accelerator.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from scipy import optimize, stats
+from scipy.spatial.distance import pdist, squareform
+from scipy.stats import kendalltau
+
+
+# --------------------------------------------------------------------------
+# similarity matrices / RSA
+# --------------------------------------------------------------------------
+def data2cmat(data: np.ndarray) -> np.ndarray:
+    """Pairwise euclidean dissimilarity matrix (``stat_utils.py:25-32``)."""
+    if data.ndim > 2:
+        return np.array([squareform(pdist(data[idx], metric="euclidean"))
+                         for idx in range(len(data))])
+    return squareform(pdist(data, metric="euclidean"))
+
+
+def cmat2triu(arr: np.ndarray) -> np.ndarray:
+    """Upper triangular (k=1) of a square matrix (``stat_utils.py:35-42``)."""
+    assert np.ndim(arr) == 2, "Expect 2 dim similarity!"
+    assert arr.shape[0] == arr.shape[1], "Expect square similarity!"
+    return arr[np.triu_indices(n=arr.shape[0], k=1)]
+
+
+def vec2cmat(vec: np.ndarray, categorical: bool = False,
+             metric: str = "euclidean") -> np.ndarray:
+    """Dissimilarity matrix of a single characteristic
+    (``stat_utils.py:45-53``)."""
+    vec = np.asarray(vec)
+    if not categorical:
+        return squareform(pdist(vec[:, None].astype(float), metric=metric))
+    return (vec[:, None] != vec[None, :]).astype(int)
+
+
+def fit_rsa(cmat: np.ndarray, ref_cmat: np.ndarray,
+            idxs: Optional[np.ndarray] = None):
+    """Kendall tau between matrix upper triangles (``stat_utils.py:81-95``)."""
+    if cmat.ndim > 2:
+        r = np.array([
+            kendalltau(cmat2triu(cmat[idx][idxs, :][:, idxs]),
+                       cmat2triu(ref_cmat))[0]
+            for idx in range(10)])
+        return np.arctan(r)
+    tau, pval = kendalltau(cmat2triu(cmat), cmat2triu(ref_cmat))
+    return tau, pval
+
+
+# --------------------------------------------------------------------------
+# scalar linear models (statsmodels-free)
+# --------------------------------------------------------------------------
+def _design(df: pd.DataFrame, x_name: str,
+            other_cov_names: Sequence[str]) -> np.ndarray:
+    cols = [np.ones(len(df)), np.asarray(df[x_name], dtype=float)]
+    for c in other_cov_names:
+        cols.append(np.asarray(df[c], dtype=float))
+    return np.stack(cols, axis=1)
+
+
+def ols_fit(X: np.ndarray, y: np.ndarray):
+    """OLS with t-tests; returns (params, pvalues, se, dof)."""
+    n, p = X.shape
+    beta, _, rank, _ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    dof = n - rank
+    sigma2 = float(resid @ resid) / max(dof, 1)
+    xtx_inv = np.linalg.pinv(X.T @ X)
+    se = np.sqrt(np.clip(np.diag(xtx_inv) * sigma2, 0, None))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(se > 0, beta / se, np.inf)
+    pvals = 2.0 * stats.t.sf(np.abs(t), max(dof, 1))
+    return beta, pvals, se, dof
+
+
+def _mixed_reml(X: np.ndarray, y: np.ndarray, groups: np.ndarray):
+    """Random-intercept LMM by REML; returns (beta, pvalues, se)."""
+    uniq, inv = np.unique(groups, return_inverse=True)
+    group_lists = [np.where(inv == g)[0] for g in range(len(uniq))]
+    n, p = X.shape
+
+    def profile(lam: float):
+        xtwx = np.zeros((p, p))
+        xtwy = np.zeros(p)
+        logdet = 0.0
+        for rows in group_lists:
+            Xi, yi = X[rows], y[rows]
+            ni = len(rows)
+            w = lam / (1.0 + ni * lam)
+            xtwx += Xi.T @ Xi - w * np.outer(Xi.sum(0), Xi.sum(0))
+            xtwy += Xi.T @ yi - w * Xi.sum(0) * yi.sum()
+            logdet += np.log1p(ni * lam)
+        beta = np.linalg.solve(xtwx, xtwy)
+        rss = 0.0
+        for rows in group_lists:
+            Xi, yi = X[rows], y[rows]
+            ri = yi - Xi @ beta
+            ni = len(rows)
+            w = lam / (1.0 + ni * lam)
+            rss += ri @ ri - w * ri.sum() ** 2
+        sigma2 = rss / max(n - p, 1)
+        _, ld2 = np.linalg.slogdet(xtwx)
+        reml = -0.5 * ((n - p) * np.log(sigma2) + logdet + ld2
+                       + (n - p))
+        return reml, beta, sigma2, xtwx
+
+    res = optimize.minimize_scalar(
+        lambda t: -profile(np.exp(t))[0], bounds=(-10.0, 10.0),
+        method="bounded")
+    lam = float(np.exp(res.x))
+    _, beta, sigma2, xtwx = profile(lam)
+    cov = sigma2 * np.linalg.pinv(xtwx)
+    se = np.sqrt(np.clip(np.diag(cov), 0, None))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(se > 0, beta / se, np.inf)
+    pvals = 2.0 * stats.norm.sf(np.abs(z))
+    return beta, pvals, se
+
+
+def make_regression(df: pd.DataFrame, x_name: str, y_name: str,
+                    other_cov_names: Sequence[str] = (),
+                    groups_name: Optional[str] = None, method: str = "fixed",
+                    other=None):
+    """Fit a linear model with the requested design
+    (``stat_utils.py:55-79``); returns ``(pvalue, coef, subjects_betas)``."""
+    y = np.asarray(df[y_name], dtype=float)
+    subjects_betas = None
+    if method == "fixed":
+        X = _design(df, x_name, other_cov_names)
+        beta, pvals, _, _ = ols_fit(X, y)
+        return pvals[1], beta[1], None
+    if method == "mixed":
+        X = _design(df, x_name, other_cov_names)
+        groups = np.asarray(df[groups_name])
+        beta, pvals, _ = _mixed_reml(X, y, groups)
+        return pvals[1], beta[1], None
+    if method == "hierarchical":
+        rows = []
+        for group_lab, group_df in df.groupby(groups_name, sort=False):
+            Xg = _design(group_df, x_name, other_cov_names)
+            yg = np.asarray(group_df[y_name], dtype=float)
+            bg, *_ = np.linalg.lstsq(Xg, yg, rcond=None)
+            rows.append([group_lab, bg[1]])
+        lv1 = pd.DataFrame(rows, columns=[groups_name, "beta"])
+        subjects_betas = lv1
+        betas = lv1["beta"].to_numpy(dtype=float)
+        coef, pval = one_sample_ttest(betas)
+        return pval, coef, subjects_betas
+    raise ValueError(f"unknown regression method: {method}")
+
+
+def one_sample_ttest(values: np.ndarray) -> Tuple[float, float]:
+    """Mean + two-sided t-test vs 0, dof n-1 — equals OLS ``beta ~ 1``."""
+    values = np.asarray(values, dtype=float)
+    n = len(values)
+    mean = float(values.mean())
+    se = values.std(ddof=1) / np.sqrt(n)
+    if se == 0:
+        return mean, 0.0 if mean != 0 else 1.0
+    t = mean / se
+    return mean, float(2.0 * stats.t.sf(abs(t), n - 1))
+
+
+# --------------------------------------------------------------------------
+# batched device-side kernels for the DAA regression stage
+# --------------------------------------------------------------------------
+def per_group_slopes(x: np.ndarray, y: np.ndarray):
+    """Closed-form per-group OLS slopes.
+
+    ``x``: ``[G, N]`` regressor per group; ``y``: ``[G, N, R]`` responses.
+    Returns slopes ``[G, R]`` — ``cov(x, y) / var(x)`` per group, identical to
+    each group's OLS slope with intercept.
+    """
+    import jax.numpy as jnp
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    xc = x - x.mean(axis=1, keepdims=True)
+    yc = y - y.mean(axis=1, keepdims=True)
+    sxx = jnp.sum(xc * xc, axis=1)  # [G]
+    sxy = jnp.einsum("gn,gnr->gr", xc, yc)
+    return sxy / sxx[:, None]
+
+
+def hierarchical_regression_batch(x: np.ndarray, y: np.ndarray):
+    """Vectorized two-level regression matching ``make_regression(...,
+    method='hierarchical')``.
+
+    ``x``: ``[G, N]``; ``y``: ``[G, N, R]``. Level 1 computes per-group
+    slopes on device; level 2 is the one-sample t-test across groups.
+    Returns ``(pvalues [R], coefs [R], betas [G, R])``.
+    """
+    betas = np.asarray(per_group_slopes(x, y), dtype=np.float64)  # [G, R]
+    g = betas.shape[0]
+    coefs = betas.mean(axis=0)
+    se = betas.std(axis=0, ddof=1) / np.sqrt(g)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(se > 0, coefs / se, np.inf)
+    pvals = 2.0 * stats.t.sf(np.abs(t), g - 1)
+    return pvals, coefs, betas
+
+
+def fixed_regression_batch(x: np.ndarray, y: np.ndarray):
+    """Vectorized pooled OLS (slope + intercept) across all observations.
+
+    ``x``: ``[N]``; ``y``: ``[N, R]``. Matches ``method='fixed'`` (dof n-2).
+    Returns ``(pvalues [R], coefs [R])``.
+    """
+    import jax.numpy as jnp
+    xj = jnp.asarray(x)
+    yj = jnp.asarray(y)
+    n = xj.shape[0]
+    xc = xj - xj.mean()
+    yc = yj - yj.mean(axis=0, keepdims=True)
+    sxx = jnp.sum(xc * xc)
+    slope = jnp.einsum("n,nr->r", xc, yc) / sxx
+    resid = yc - xc[:, None] * slope[None, :]
+    sigma2 = jnp.sum(resid * resid, axis=0) / (n - 2)
+    se = jnp.sqrt(sigma2 / sxx)
+    slope = np.asarray(slope, dtype=np.float64)
+    se = np.asarray(se, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(se > 0, slope / se, np.inf)
+    pvals = 2.0 * stats.t.sf(np.abs(t), n - 2)
+    return pvals, slope
+
+
+def one_way_anova_batch(values: np.ndarray, groups: np.ndarray):
+    """Vectorized one-way ANOVA F-test p-values.
+
+    ``values``: ``[N, R]`` responses; ``groups``: ``[N]`` labels. Equals
+    statsmodels ``anova_lm(OLS('y ~ C(g)'))``'s ``PR(>F)`` per column.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    uniq, inv = np.unique(groups, return_inverse=True)
+    k = len(uniq)
+    n = values.shape[0]
+    grand = values.mean(axis=0)
+    ss_between = np.zeros(values.shape[1])
+    ss_within = np.zeros(values.shape[1])
+    for g in range(k):
+        rows = values[inv == g]
+        mg = rows.mean(axis=0)
+        ss_between += len(rows) * (mg - grand) ** 2
+        ss_within += ((rows - mg) ** 2).sum(axis=0)
+    df_b, df_w = k - 1, n - k
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = (ss_between / df_b) / (ss_within / df_w)
+    return stats.f.sf(f, df_b, df_w)

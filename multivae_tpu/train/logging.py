@@ -1,0 +1,79 @@
+"""Metric logging: tensorboard scalars + a CSV mirror.
+
+Scalar families follow the reference's TBLogger
+(``experiments/utils/TBLogger.py:84-101``): per-step ``train/Loss``,
+``train/LogProb``, ``train/KLD``, ``train/group_divergence``, latent mu/logvar
+means, plus ``Likelihoods/*`` and ``PRD`` eval families. A CSV mirror
+(``metrics.csv``) is written so runs remain inspectable without tensorboard.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    from tensorboardX import SummaryWriter
+except Exception:  # pragma: no cover
+    SummaryWriter = None
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.step = 0
+        self.writer = None
+        if use_tensorboard and SummaryWriter is not None:
+            self.writer = SummaryWriter(log_dir)
+        self._csv_path = os.path.join(log_dir, "metrics.csv")
+        self._csv_file = open(self._csv_path, "a", newline="")
+        self._csv = csv.writer(self._csv_file)
+        if os.path.getsize(self._csv_path) == 0:
+            self._csv.writerow(["step", "phase", "metric", "value"])
+
+    def add_text(self, tag: str, text: str) -> None:
+        if self.writer is not None:
+            self.writer.add_text(tag, text, 0)
+
+    def _scalar(self, phase: str, name: str, value) -> None:
+        value = float(np.asarray(value))
+        if self.writer is not None:
+            self.writer.add_scalar(f"{phase}/{name}", value, self.step)
+        self._csv.writerow([self.step, phase, name, value])
+
+    def write_metrics(self, phase: str, metrics: Dict[str, object]) -> None:
+        """Log one step's metric dict (keys like ``loss``, ``log_prob/m``,
+        ``kld/subset``, ``joint_divergence``)."""
+        for name, value in metrics.items():
+            self._scalar(phase, name, value)
+        self.step += 1
+
+    def write_training_logs(self, metrics) -> None:
+        self.write_metrics("train", metrics)
+
+    def write_testing_logs(self, metrics) -> None:
+        self.write_metrics("test", metrics)
+
+    def write_lhood_logs(self, lhoods: Dict[str, Dict[str, float]]) -> None:
+        for s_key in sorted(lhoods):
+            for m_key, val in lhoods[s_key].items():
+                self._scalar("Likelihoods", f"{s_key}/{m_key}", val)
+
+    def write_prd_scores(self, prd: Dict[str, float]) -> None:
+        for key, val in prd.items():
+            self._scalar("PRD", key, val)
+
+    def flush(self) -> None:
+        self._csv_file.flush()
+        if self.writer is not None:
+            self.writer.flush()
+
+    def close(self) -> None:
+        self.flush()
+        self._csv_file.close()
+        if self.writer is not None:
+            self.writer.close()

@@ -1,0 +1,125 @@
+"""Epoch runner: the reference's ``run_epochs`` (``experiments/run_epochs.py:
+138-256``) rebuilt around jitted steps.
+
+Per member: each epoch trains over subset-homogeneous batches and evaluates on
+the test split, logging the reference's scalar families; checkpoints land in
+``checkpoints/[model_i/]<epoch:04d>/model`` every 5 epochs and at the end.
+NLL (IWAE) and PRD evaluation run at the configured cadence.
+
+Host/device split: the sampler materializes numpy batches (vectorized
+gathers); each distinct (presence pattern, batch size) pair compiles once and
+is then replayed from the jit cache.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data import MissingModalitySampler, simple_batches
+from ..utils.filehandling import model_checkpoint_dir, model_log_dir
+from .checkpoint import save_checkpoint
+from .logging import MetricLogger
+from .train_step import make_eval_step, make_train_step
+
+
+def _to_device(batch: Dict[str, np.ndarray]):
+    return {k: jax.numpy.asarray(v) for k, v in batch.items()}
+
+
+def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
+                    rng, log_every: int = 1):
+    cfg = exp.cfg
+    dataset = exp.dataset_train
+    sub_indices = None
+    if cfg.num_models > 1:
+        dataset = dataset[model_idx]
+        sub_indices = dataset.indices
+    sampler = MissingModalitySampler(dataset, batch_size=cfg.batch_size,
+                                     indices=sub_indices)
+    params = exp.params[model_idx]
+    opt_state = exp.opt_states[model_idx]
+    n_steps = 0
+    for iteration, idxs in enumerate(sampler):
+        data, _, _ = dataset.gather(idxs)
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss, metrics = step_fn(
+            params, opt_state, _to_device(data), sub)
+        n_steps += 1
+        if logger is not None and iteration % log_every == 0:
+            logger.write_training_logs(
+                {k: np.asarray(v) for k, v in metrics.items()})
+    exp.params[model_idx] = params
+    exp.opt_states[model_idx] = opt_state
+    return rng, n_steps
+
+
+def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
+                   rng, epoch: int):
+    cfg = exp.cfg
+    dataset = exp.dataset_test
+    if cfg.num_models > 1:
+        dataset = dataset[model_idx]
+    params = exp.params[model_idx]
+    batches = simple_batches(len(dataset), cfg.batch_size,
+                             np.random.default_rng(cfg.seed + epoch))
+    for idxs in batches:
+        data, _, _ = dataset.gather(idxs)
+        if not data:
+            continue
+        rng, sub = jax.random.split(rng)
+        loss, metrics = eval_fn(params, _to_device(data), sub)
+        if logger is not None:
+            logger.write_testing_logs(
+                {k: np.asarray(v) for k, v in metrics.items()})
+
+    if ((epoch + 1) % cfg.eval_freq == 0 or (epoch + 1) == cfg.end_epoch):
+        if cfg.calc_nll:
+            from ..eval.likelihood import estimate_likelihoods
+            lhoods = estimate_likelihoods(exp, model_idx)
+            if logger is not None:
+                logger.write_lhood_logs(lhoods)
+        if cfg.calc_prd and ((epoch + 1) % cfg.eval_freq_fid == 0):
+            from ..eval.sample_quality import calc_prd_score
+            prd = calc_prd_score(exp, model_idx)
+            if logger is not None:
+                logger.write_prd_scores(prd)
+    return rng
+
+
+def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
+               progress: bool = True):
+    """Train every ensemble member (``run_epochs.py:222-256``)."""
+    cfg = exp.cfg
+    cfg.save(os.path.join(cfg.dir_experiment_run, "flags.json"))
+    step_fn = make_train_step(cfg, exp.model)
+    eval_fn = make_eval_step(cfg, exp.model)
+    print("training epochs progress:")
+    for model_idx in range(cfg.num_models):
+        logger = MetricLogger(model_log_dir(cfg, model_idx),
+                              use_tensorboard=use_tensorboard)
+        logger.add_text("FLAGS", cfg.describe())
+        rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
+        t0 = time.time()
+        for epoch in range(cfg.start_epoch, cfg.end_epoch):
+            rng, n_steps = train_one_epoch(exp, model_idx, step_fn, logger,
+                                           rng, log_every)
+            rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng, epoch)
+            if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
+                ckpt_dir = model_checkpoint_dir(cfg, model_idx, epoch)
+                save_checkpoint(ckpt_dir, exp.params[model_idx],
+                                exp.opt_states[model_idx], cfg.model_save)
+            if progress:
+                frac = (epoch + 1 - cfg.start_epoch) / max(
+                    cfg.end_epoch - cfg.start_epoch, 1)
+                elapsed = time.time() - t0
+                print(f"\r  model {model_idx}: epoch {epoch + 1}/"
+                      f"{cfg.end_epoch} ({100 * frac:.1f}%) "
+                      f"[{elapsed:.1f}s]", end="", flush=True)
+        if progress:
+            print()
+        logger.close()

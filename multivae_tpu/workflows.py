@@ -1,0 +1,490 @@
+"""Analysis workflows (train, DAA, ANOVA, RSA, plots).
+
+Command surface mirrors ``experiments/workflow.py`` / ``experiments.py:21-34``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .train.config import Config
+from .train.experiment import MultimodalExperiment
+from .train.trainer import run_epochs
+from .utils.colors import print_result, print_text, print_title
+from .utils.filehandling import create_dir_structure
+
+
+def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
+              latent_dim=20, style_dim=(3, 20), data_seed="defaults",
+              num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
+              allow_missing_blocks=True, factorized_representation=True,
+              likelihood="normal", learning_rate=0.002, batch_size=256,
+              num_epochs=1500, eval_freq=25, eval_freq_fid=100, beta=1.0,
+              data_multiplications=1, dropout_rate=0.0,
+              initial_out_logvar=-3.0, learn_output_scale=True,
+              out_scale_per_subject=False, method="joint_elbo",
+              grad_scaling=False, use_tensorboard=True, log_every=1):
+    """Train the model (``workflow.py:41-182``); same parameter surface.
+
+    Creates the run directory ``<dataset>_<timestamp>``, trains all ensemble
+    members, checkpoints every 5 epochs, and appends the run to the
+    ``runs.tsv`` registry.
+    """
+    print_title(f"TRAIN: {dataset}")
+    cfg = Config(
+        dataset=dataset, datasetdir=datasetdir, dir_experiment=outdir,
+        num_models=num_models, allow_missing_blocks=allow_missing_blocks,
+        batch_size=batch_size, beta=beta, class_dim=latent_dim,
+        data_multiplications=data_multiplications, end_epoch=num_epochs,
+        eval_freq=eval_freq, eval_freq_fid=eval_freq_fid,
+        factorized_representation=factorized_representation,
+        initial_learning_rate=learning_rate,
+        initial_out_logvar=initial_out_logvar, input_dim=list(input_dims),
+        learn_output_scale=learn_output_scale,
+        learn_output_sample_scale=out_scale_per_subject,
+        likelihood=likelihood, method=method,
+        num_hidden_layer_encoder=num_hidden_layer_encoder,
+        num_hidden_layer_decoder=num_hidden_layer_decoder,
+        dropout_rate=dropout_rate, style_dim=list(style_dim),
+        data_seed=data_seed, grad_scaling=grad_scaling,
+    ).derive()
+    create_dir_structure(cfg)
+
+    exp = MultimodalExperiment(cfg)
+    exp.set_optimizers()
+    run_epochs(exp, use_tensorboard=use_tensorboard, log_every=log_every)
+
+    # run registry (workflow.py:155-182)
+    runs_path = os.path.join(cfg.dir_experiment, "runs.tsv")
+    row = dict(
+        name=[cfg.str_experiment], dataset=[cfg.dataset],
+        out_scale_per_subject=[cfg.learn_output_sample_scale],
+        n_hidden_layer_encoder=[cfg.num_hidden_layer_encoder],
+        n_hidden_layer_decoder=[cfg.num_hidden_layer_decoder],
+        allow_missing_blocks=[cfg.allow_missing_blocks])
+    if os.path.exists(runs_path):
+        runs = pd.concat((pd.read_table(runs_path), pd.DataFrame(row)))
+    else:
+        rows = {k: [] for k in row}
+        for run in os.listdir(cfg.dir_experiment):
+            flags_file = os.path.join(cfg.dir_experiment, run, "flags.json")
+            if not os.path.isfile(flags_file):
+                continue
+            old = Config.load(flags_file)
+            rows["name"].append(old.str_experiment)
+            rows["dataset"].append(old.dataset)
+            rows["out_scale_per_subject"].append(old.learn_output_sample_scale)
+            rows["n_hidden_layer_encoder"].append(old.num_hidden_layer_encoder)
+            rows["n_hidden_layer_decoder"].append(old.num_hidden_layer_decoder)
+            rows["allow_missing_blocks"].append(old.allow_missing_blocks)
+        runs = pd.DataFrame(rows)
+    runs.to_csv(runs_path, index=False, sep="\t")
+    print_result(f"run: {cfg.str_experiment}")
+    return cfg.str_experiment
+
+
+def _load_trained(outdir: str, run: str):
+    expdir = os.path.join(outdir, run)
+    flags_file = os.path.join(expdir, "flags.json")
+    if not os.path.isfile(flags_file):
+        raise ValueError("You need first to train the model.")
+    checkpoints_dir = os.path.join(expdir, "checkpoints")
+    return MultimodalExperiment.get_experiment(flags_file, checkpoints_dir)
+
+
+def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
+            n_validation=5, n_samples=200, n_subjects=50, M=1000,
+            trust_level=0.75, seed=1037, reg_method="hierarchical",
+            sample_latents=True, vote_prop=1, chunk=16):
+    """Digital avatars analysis (``workflow.py:185-539``): perturb one
+    clinical score at a time, decode ROI avatars, regress avatar on score per
+    ROI and vote Bonferroni-significant associations."""
+    from .analysis.daa import run_daa
+
+    print_title(f"DIGITAL AVATARS ANALYSIS: {dataset}")
+    expdir = os.path.join(outdir, run)
+    daadir = os.path.join(expdir, "daa")
+    os.makedirs(daadir, exist_ok=True)
+    print_text(f"experimental directory: {expdir}")
+    print_text(f"DAA directory: {daadir}")
+    experiment, cfg = _load_trained(outdir, run)
+    resdir = run_daa(experiment, cfg, datasetdir, daadir,
+                     sampling_strategy=sampling_strategy,
+                     n_validation=n_validation, n_samples=n_samples,
+                     n_subjects=n_subjects, M=M, trust_level=trust_level,
+                     seed=seed, reg_method=reg_method,
+                     sample_latents=sample_latents, vote_prop=vote_prop,
+                     chunk=chunk)
+    return resdir
+
+
+def anova_exp(dataset, datasetdir, outdir, run, n_validation=5,
+              n_samples=200, n_subjects=50, sampling_strategy="likelihood",
+              M=1000, trust_level=0.75, seed=1037,
+              reg_method="hierarchical", sample_latents=True, vote_prop=1):
+    """Site-effect ANOVA on DAA per-subject betas (``workflow.py:542-654``)."""
+    from .analysis.anova import run_anova
+    from .analysis.daa import params_namespace, resdir_name
+
+    if reg_method != "hierarchical":
+        raise ValueError(
+            "Anova only makes sense when using a hierachical regression")
+    print_title(f"ANOVA: {dataset}")
+    expdir = os.path.join(outdir, run)
+    daadir = os.path.join(expdir, "daa")
+    clinical_names = np.load(
+        os.path.join(datasetdir, "clinical_names.npy"), allow_pickle=True)
+    rois_names = np.load(
+        os.path.join(datasetdir, "rois_names.npy"), allow_pickle=True)
+    cfg = Config.load(os.path.join(expdir, "flags.json"))
+    params = params_namespace(n_validation, n_subjects, M, n_samples,
+                              reg_method, sampling_strategy, sample_latents,
+                              seed)
+    resdir = os.path.join(daadir, resdir_name(params))
+    return run_anova(resdir, clinical_names, rois_names, cfg.num_models,
+                     n_validation, trust_level, vote_prop)
+
+
+def rsa_exp(dataset, datasetdir, outdir, run, n_validation=1,
+            n_subjects=301, sample_latents=False, seed=1037):
+    """Representational similarity analysis (``workflow.py:656-820``)."""
+    from .analysis.rsa import run_rsa
+
+    print_title(f"RSA ANALYSIS: {dataset}")
+    expdir = os.path.join(outdir, run)
+    rsadir = os.path.join(expdir, "rsa")
+    os.makedirs(rsadir, exist_ok=True)
+    print_text(f"experimental directory: {expdir}")
+    print_text(f"RSA directory: {rsadir}")
+    experiment, cfg = _load_trained(outdir, run)
+    return run_rsa(experiment, cfg, datasetdir, rsadir,
+                   n_validation=n_validation, n_subjects=n_subjects,
+                   sample_latents=sample_latents, seed=seed)
+
+
+def hist_plot_exp(datasets, datasetdirs, scores, outdir):
+    """Score KDE across cohorts (``workflow.py:823-868``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    print_title("PLOT HISTOGRAM")
+    if not isinstance(datasets, (list, tuple)):
+        datasets = [datasets]
+    if not isinstance(datasetdirs, (list, tuple)):
+        datasetdirs = datasetdirs.split(",")
+    if not isinstance(scores, (list, tuple)):
+        scores = [scores]
+    assert len(datasets) == len(datasetdirs), "Invalid input list sizes."
+    assert len(datasets) == len(scores), "Invalid input list sizes."
+    data = {"score": [], "cohort": []}
+    for name, path, score in zip(datasets, datasetdirs, scores):
+        clinical_data = np.load(os.path.join(path, "clinical_data.npy"),
+                                allow_pickle=True).T
+        clinical_names = np.load(os.path.join(path, "clinical_names.npy"),
+                                 allow_pickle=True)
+        score_idx = np.argwhere(clinical_names == score)[0, 0]
+        data["score"].extend(clinical_data[score_idx].tolist())
+        data["cohort"].extend([name] * clinical_data.shape[1])
+    plt.figure(figsize=(10, 3 / 4 * 10))
+    sns_plot = sns.kdeplot(
+        data=data, x="score", hue="cohort", fill=True, common_norm=False,
+        linewidth=0, multiple="stack")
+    ax = plt.gca()
+    ax.spines.right.set_visible(False)
+    ax.spines.top.set_visible(False)
+    hist_file = os.path.join(outdir, "hist.png")
+    sns_plot.get_figure().savefig(hist_file)
+    print_result(f"histogram: {hist_file}")
+    return hist_file
+
+
+def _collect_significant(pvalues, clinical_names, rois_names, n_models,
+                         n_validation, trust_level, vote_prop):
+    significativity_thr = 0.05 / len(clinical_names) / len(rois_names)
+    local_trust_level = n_validation * trust_level
+    if n_models == 1:
+        pvalues = pvalues[np.newaxis]
+    idx_sign = ((pvalues < significativity_thr).sum(axis=1)
+                >= local_trust_level)
+    idx_sign = idx_sign.sum(0) >= vote_prop * n_models
+    data = {"metric": [], "roi": [], "score": []}
+    for idx, score in enumerate(clinical_names):
+        for name in np.asarray(rois_names)[np.where(idx_sign[idx])]:
+            name, metric = str(name).rsplit("_", 1)
+            data["score"].append(score)
+            data["metric"].append(metric)
+            data["roi"].append(name)
+    return pd.DataFrame.from_dict(data), idx_sign
+
+
+def daa_plot_most_connected(dataset, datasetdir, outdir, run,
+                            trust_level=0.7, n_rois=5,
+                            plot_associations=False, vote_prop=1,
+                            rescaled=True):
+    """Radar plots of the most-connected ROI coefficients + area plot
+    (``workflow.py:905-1121``; matplotlib radar instead of plotly)."""
+    import collections
+    import glob as _glob
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .constants import get_short_clinical_names
+    from .viz.plotting import plot_areas, plot_radar
+
+    print_title(f"PLOT DAA most associated rois: {dataset}")
+    expdir = os.path.join(outdir, run)
+    daadir = os.path.join(expdir, "daa")
+    simdirs = [p for p in _glob.glob(os.path.join(daadir, "*"))
+               if os.path.isdir(p)]
+    print_text(f"Simulation directories: {','.join(simdirs)}")
+    cfg = Config.load(os.path.join(expdir, "flags.json"))
+    clinical_names = np.load(
+        os.path.join(datasetdir, "clinical_names.npy"),
+        allow_pickle=True).tolist()
+    rois_names = np.load(
+        os.path.join(datasetdir, "rois_names.npy"),
+        allow_pickle=True).tolist()
+    short_names = get_short_clinical_names(dataset, clinical_names)
+    n_models = cfg.num_models
+
+    for dirname in simdirs:
+        if not os.path.exists(os.path.join(dirname, "coefs.npy")):
+            continue
+        coefs = np.load(os.path.join(dirname, "coefs.npy"))
+        pvalues = np.load(os.path.join(dirname, "pvalues.npy"))
+        n_validation = int(
+            dirname.split("n_validation_")[1].split("_n_s")[0])
+        df, idx_sign = _collect_significant(
+            pvalues, clinical_names, rois_names, n_models, n_validation,
+            trust_level, vote_prop)
+        if not len(df):
+            print_text(f"no significant associations in {dirname}")
+            continue
+        all_selected_rois = []
+        for _metric, _df in df.groupby("metric"):
+            counts = collections.Counter(_df["roi"].values)
+            selected_rois = [item[0]
+                             for item in counts.most_common(n_rois)]
+            fig = plt.figure(figsize=(7, 7))
+            ax = fig.add_subplot(111, polar=True)
+            for _roi in selected_rois:
+                roi_idx = rois_names.index(f"{_roi}_{_metric}")
+                if n_models > 1:
+                    sel = coefs[:, :, :, roi_idx].mean(axis=(0, 1))
+                else:
+                    sel = coefs[:, :, roi_idx].mean(axis=0)
+                plot_radar(sel, [short_names.get(str(n), str(n))
+                                 for n in clinical_names],
+                           title=f"{_metric}", ax=ax)
+            ax.legend(selected_rois, loc="upper right",
+                      bbox_to_anchor=(1.3, 1.1), fontsize=7)
+            filename = os.path.join(
+                dirname, f"three_selected_rois_{_metric}_polarplots.png")
+            fig.tight_layout()
+            fig.savefig(filename)
+            plt.close(fig)
+            print_result(f"{_metric} regression coefficients for selected "
+                         f"ROIs: {filename}")
+            all_selected_rois += [r for r in selected_rois
+                                  if r not in all_selected_rois]
+        filename = os.path.join(dirname, "most_connected_rois.png")
+        plot_areas(all_selected_rois, np.arange(len(all_selected_rois)),
+                   save_path=filename)
+
+        if plot_associations:
+            # score -> roi flow (reference uses a plotly Parcats diagram,
+            # workflow.py:1091-1121); rendered as a bipartite line plot
+            for _metric, _df in df.groupby("metric"):
+                fig, ax = plt.subplots(figsize=(8, max(4, 0.3 * len(_df))))
+                scores_u = sorted(_df["score"].unique().tolist())
+                rois_u = sorted(_df["roi"].unique().tolist())
+                for _, row in _df.iterrows():
+                    score_idx = clinical_names.index(row["score"])
+                    roi_idx = rois_names.index(f"{row['roi']}_{_metric}")
+                    if n_models > 1:
+                        coef = coefs[:, :, score_idx, roi_idx].mean()
+                    else:
+                        coef = coefs[:, score_idx, roi_idx].mean()
+                    y0 = scores_u.index(row["score"])
+                    y1 = rois_u.index(row["roi"])
+                    ax.plot([0, 1], [y0, y1],
+                            color="red" if coef > 0 else "blue",
+                            alpha=0.4, lw=1 + 4 * abs(coef))
+                ax.set_yticks(range(len(scores_u)), labels=scores_u)
+                ax2 = ax.twinx()
+                ax2.set_yticks(range(len(rois_u)), labels=rois_u)
+                ax2.set_ylim(-0.5, max(len(rois_u), len(scores_u)) - 0.5)
+                ax.set_ylim(-0.5, max(len(rois_u), len(scores_u)) - 0.5)
+                ax.set_xticks([])
+                filename = os.path.join(dirname,
+                                        f"score2roi_{_metric}_flow.png")
+                fig.tight_layout()
+                fig.savefig(filename)
+                plt.close(fig)
+                print_result(f"flow for the {_metric} metric: {filename}")
+
+
+def daa_plot_score_metric(dataset, datasetdir, outdir, run, score, metric,
+                          trust_level=0.7, plot_rois=True,
+                          plot_weights=True, vote_prop=1, rescaled=True):
+    """Surface + barh plots of significant ROIs for one (score, metric)
+    (``workflow.py:1123-1238``)."""
+    import glob as _glob
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .viz.plotting import plot_areas, plot_coefs
+
+    print_title(f"PLOT DAA results: {dataset}")
+    expdir = os.path.join(outdir, run)
+    daadir = os.path.join(expdir, "daa")
+    simdirs = [p for p in _glob.glob(os.path.join(daadir, "*"))
+               if os.path.isdir(p)]
+    experiment, cfg = _load_trained(outdir, run)
+    clinical_names = np.load(
+        os.path.join(datasetdir, "clinical_names.npy"),
+        allow_pickle=True).tolist()
+    rois_names = np.load(
+        os.path.join(datasetdir, "rois_names.npy"),
+        allow_pickle=True).tolist()
+    n_models = cfg.num_models
+    scalers = experiment.scalers
+
+    for dirname in simdirs:
+        if not os.path.exists(os.path.join(dirname, "coefs.npy")):
+            continue
+        coefs = np.load(os.path.join(dirname, "coefs.npy"))
+        pvalues = np.load(os.path.join(dirname, "pvalues.npy"))
+        n_validation = int(
+            dirname.split("n_validation_")[1].split("_n_s")[0])
+        df, _ = _collect_significant(
+            pvalues, clinical_names, rois_names, n_models, n_validation,
+            trust_level, vote_prop)
+        if len(df):
+            print(df.groupby(["metric", "score"]).count())
+        areas = df["roi"][(df["metric"] == metric)
+                          & (df["score"] == score)].to_list()
+        if not areas:
+            print_text(f"no significant rois for {score}/{metric} in "
+                       f"{dirname}")
+            continue
+        area_idx = [rois_names.index(f"{name}_{metric}") for name in areas]
+        score_idx = clinical_names.index(score)
+        if n_models > 1:
+            values = coefs[:, :, score_idx, area_idx].mean(axis=(0, 1))
+            if rescaled:
+                scaling = np.asarray([
+                    sum(scalers[i]["rois"].scale_[roi_idx]
+                        / scalers[i]["clinical"].scale_[score_idx]
+                        for i in range(n_models)) / n_models
+                    for roi_idx in area_idx])
+                values = values * scaling
+        else:
+            values = coefs[:, score_idx, area_idx].mean(0)
+            if rescaled:
+                scaling = np.asarray([
+                    scalers["rois"].scale_[roi_idx]
+                    / scalers["clinical"].scale_[score_idx]
+                    for roi_idx in area_idx])
+                values = values * scaling
+        print_text(f"Number of significative rois in {metric} for {score}: "
+                   f"{len(areas)}")
+        filename_areas = os.path.join(
+            dirname, f"associated_rois_for_{score}_in_{metric}.png")
+        filename_bar = os.path.join(
+            dirname, f"association_for_{score}_in_{metric}.png")
+        if plot_rois:
+            plot_areas(areas, np.arange(len(areas)) + 0.01,
+                       save_path=filename_areas)
+        plot_coefs(areas, values, save_path=filename_bar)
+
+
+def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
+                    n_frames=20, n_subjects=4, seed=1037):
+    """Avatar traverse animation (``workflow.py:1242-1373``; commented out of
+    the reference CLI). Decodes a linear traverse of one score and writes an
+    animated GIF of the ROI pattern per frame (fsaverage rendering is
+    unavailable without nilearn; frames show the ROI vector heatmap)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    import jax
+    import jax.numpy as jnp
+
+    from .analysis.daa import avatar_sweep, complete_indices, full_batch
+
+    print_title(f"AVATAR PLOT: {dataset}")
+    experiment, cfg = _load_trained(outdir, run)
+    clinical_names = np.load(
+        os.path.join(datasetdir, "clinical_names.npy"),
+        allow_pickle=True).tolist()
+    score_idx = clinical_names.index(score) if score else 0
+    testset = (experiment.dataset_test if cfg.num_models == 1
+               else experiment.dataset_test[0])
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(complete_indices(testset), size=n_subjects,
+                     replace=False)
+    data, _ = full_batch(testset, sel)
+    clinical = np.asarray(data["clinical"])
+    lo, hi = np.quantile(clinical[:, score_idx], [0.05, 0.95])
+    traverse = np.linspace(lo, hi, n_frames)
+    # scores grid layout [n_samples, B, n_scores]: vary only score_idx
+    grid = np.repeat(clinical[None], n_frames, axis=0)
+    grid[:, :, score_idx] = traverse[:, None]
+    avatars = np.asarray(avatar_sweep(
+        experiment.model, experiment.params[0], data,
+        jnp.asarray(grid, dtype=jnp.float32), sample_latents=False,
+        rng=jax.random.PRNGKey(seed)))
+    # [B, n_scores, n_frames, R] -> frames for the traversed score
+    frames = avatars[:, score_idx].mean(axis=0)  # [n_frames, R]
+
+    fig, ax = plt.subplots(figsize=(10, 3))
+    im = ax.imshow(frames[0][None, :], aspect="auto", cmap="jet",
+                   vmin=frames.min(), vmax=frames.max())
+    ax.set_yticks([])
+    title = ax.set_title("")
+
+    def update(i):
+        im.set_data(frames[i][None, :])
+        title.set_text(f"{clinical_names[score_idx]} = {traverse[i]:.2f}")
+        return [im, title]
+
+    anim = animation.FuncAnimation(fig, update, frames=n_frames, blit=False)
+    filename = os.path.join(outdir, run,
+                            f"avatar_traverse_{clinical_names[score_idx]}.gif")
+    anim.save(filename, writer=animation.PillowWriter(fps=4))
+    plt.close(fig)
+    print_result(f"avatar animation: {filename}")
+    return filename
+
+
+def rsa_plot_exp(dataset, datasetdir, outdir, run):
+    """Dissimilarity-matrix mosaics (``workflow.py:871-902``)."""
+    from .viz.plotting import plot_mosaic
+
+    print_title(f"PLOT RSA results: {dataset}")
+    expdir = os.path.join(outdir, run)
+    rsadir = os.path.join(expdir, "rsa")
+    latent_cmat = np.load(os.path.join(rsadir, "latent_dissimilarity.npy"))
+    scores_cmat = np.load(os.path.join(rsadir, "scores_dissimilarity.npy"))
+    print_text(f"latent dissimilarity: {latent_cmat.shape}")
+    print_text(f"scores dissimilarity: {scores_cmat.shape}")
+    cmat_file = os.path.join(rsadir, "dissimilarity.png")
+    cmat1 = latent_cmat[0, :1] if latent_cmat.ndim > 3 else latent_cmat[:1]
+    cmat1 = cmat1 / cmat1.max()
+    cmat2 = scores_cmat[0][0] if scores_cmat.ndim > 3 else scores_cmat[0]
+    cmat2 = cmat2 / cmat2.max()
+    images = np.concatenate((cmat1.reshape(-1, *cmat1.shape[-2:]),
+                             cmat2.reshape(-1, *cmat2.shape[-2:])), axis=0)
+    plot_mosaic(images, cmat_file, n_cols=4, image_size=images.shape[-2:])
+    return cmat_file

@@ -1,0 +1,182 @@
+"""Integration tests: train a small model on the synthetic cohort, then run
+DAA (checking ground-truth recovery), ANOVA, RSA, robustness, univariate
+baseline and the plotting workflows — the full command surface."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multivae_tpu import workflows as wf
+from multivae_tpu.analysis.avatars import (
+    analyze_avatars,
+    assess_robustness,
+    univariate_tests,
+)
+from multivae_tpu.data import make_synthetic_cohort
+
+N_SCORES, N_ROIS = 4, 12
+DAA_KW = dict(n_validation=3, n_samples=20, n_subjects=15, M=16,
+              trust_level=0.7, seed=11, chunk=8)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipe")
+    datasetdir = str(root / "data")
+    outdir = str(root / "out")
+    os.makedirs(outdir)
+    truth = make_synthetic_cohort(
+        datasetdir, n_subjects=150, n_scores=N_SCORES, n_rois=N_ROIS,
+        missing_rate=0.15, seed=5, signal_strength=2.0)
+    run = wf.train_exp(
+        dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+        input_dims=[N_SCORES, N_ROIS], latent_dim=6, style_dim=[2, 3],
+        num_epochs=60, batch_size=64, method="joint_elbo",
+        learning_rate=0.003, use_tensorboard=False, log_every=10)
+    resdir = wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
+                        outdir=outdir, run=run, **DAA_KW)
+    return datasetdir, outdir, run, resdir, truth
+
+
+class TestDaa:
+    def test_artifacts(self, pipeline):
+        _, _, _, resdir, _ = pipeline
+        for f in ["rois_digital_avatars.npy", "sampled_scores.npy",
+                  "metadatas.npy", "rois_reconstructions.npy", "coefs.npy",
+                  "pvalues.npy", "all_coefs.npy", "significant_rois.tsv"]:
+            assert os.path.isfile(os.path.join(resdir, f)), f
+
+    def test_shapes(self, pipeline):
+        _, _, _, resdir, _ = pipeline
+        da = np.load(os.path.join(resdir, "rois_digital_avatars.npy"),
+                     mmap_mode="r")
+        assert da.shape == (3, 15, N_SCORES, 20, N_ROIS)
+        pv = np.load(os.path.join(resdir, "pvalues.npy"))
+        assert pv.shape == (3, N_SCORES, N_ROIS)
+        scores = np.load(os.path.join(resdir, "sampled_scores.npy"))
+        assert scores.shape == (3, 15, 20, N_SCORES)
+
+    def test_recovers_injected_signal(self, pipeline):
+        # score 0 drives the first block of ROIs in the synthetic ground
+        # truth; its regression coefs there should dominate the null block
+        _, _, _, resdir, truth = pipeline
+        coefs = np.load(os.path.join(resdir, "coefs.npy")).mean(axis=0)
+        driven = np.abs(truth["score_to_roi"][0]) > 0
+        mean_driven = np.abs(coefs[0, driven]).mean()
+        mean_null = np.abs(coefs[0, ~driven]).mean()
+        assert mean_driven > 1.5 * mean_null
+
+    def test_pvalues_in_range(self, pipeline):
+        _, _, _, resdir, _ = pipeline
+        pv = np.load(os.path.join(resdir, "pvalues.npy"))
+        assert np.all(pv >= 0) and np.all(pv <= 1)
+
+
+class TestAnova:
+    def test_runs_and_shapes(self, pipeline):
+        datasetdir, outdir, run, resdir, _ = pipeline
+        anova_kw = {k: v for k, v in DAA_KW.items() if k != "chunk"}
+        pv = wf.anova_exp(dataset="synthetic", datasetdir=datasetdir,
+                          outdir=outdir, run=run, **anova_kw)
+        assert pv.shape == (1, 3, N_SCORES, N_ROIS)
+        assert np.all((pv >= 0) & (pv <= 1))
+
+
+class TestRsa:
+    def test_runs_and_artifacts(self, pipeline):
+        datasetdir, outdir, run, _, _ = pipeline
+        taus = wf.rsa_exp(dataset="synthetic", datasetdir=datasetdir,
+                          outdir=outdir, run=run, n_validation=2,
+                          n_subjects=20)
+        rsadir = os.path.join(outdir, run, "rsa")
+        assert os.path.isfile(os.path.join(rsadir, "kendalltau_stats.npy"))
+        for latent in ["joint", "clinical_rois", "clinical_style",
+                       "rois_style"]:
+            assert os.path.isfile(
+                os.path.join(rsadir, f"kendalltau_{latent}.tsv"))
+        assert np.all(np.abs(taus[..., 0]) <= 1.0)
+        wf.rsa_plot_exp("synthetic", datasetdir, outdir, run)
+        assert os.path.isfile(os.path.join(rsadir, "dissimilarity.png"))
+
+
+class TestPlotsAndPosthoc:
+    def test_daa_plots(self, pipeline):
+        datasetdir, outdir, run, resdir, _ = pipeline
+        wf.daa_plot_most_connected("synthetic", datasetdir, outdir, run,
+                                   trust_level=0.3, plot_associations=True)
+        sig = pd.read_table(os.path.join(resdir, "significant_rois.tsv"))
+        if len(sig):
+            score, metric = sig.iloc[0][["score", "metric"]]
+            wf.daa_plot_score_metric("synthetic", datasetdir, outdir, run,
+                                     score=score, metric=metric,
+                                     trust_level=0.3)
+
+    def test_analyze_avatars(self, pipeline):
+        datasetdir, outdir, run, resdir, _ = pipeline
+        kw = {k: v for k, v in DAA_KW.items()
+              if k not in ("chunk", "trust_level")}
+        figdir = analyze_avatars("synthetic", datasetdir, outdir, run,
+                                 n_subjects_to_plot=3, **kw)
+        assert os.path.isdir(figdir)
+        assert os.path.isfile(os.path.join(figdir, "avatars_vs_scores.png"))
+
+    def test_assess_robustness(self, pipeline):
+        datasetdir, outdir, run, resdir, _ = pipeline
+        kw = {k: v for k, v in DAA_KW.items()
+              if k not in ("chunk", "trust_level")}
+        results = assess_robustness("synthetic", datasetdir, outdir, run,
+                                    **kw)
+        assert 0 in results["per_model"]
+        assert os.path.isfile(os.path.join(
+            resdir, "figures", "robustness_model_0.png"))
+
+    def test_univariate_tests(self, pipeline):
+        datasetdir, _, _, _, truth = pipeline
+        pv, assoc = univariate_tests("synthetic", datasetdir,
+                                     continuous_covs=["age"],
+                                     categorical_covs=["sex", "site"])
+        assert pv.shape == (N_SCORES, N_ROIS)
+        # injected signal should show up in the univariate baseline too
+        driven = np.abs(truth["score_to_roi"][0]) > 0
+        assert pv[0, driven].min() < 0.05 / (N_SCORES * N_ROIS)
+
+    def test_hist_plot(self, pipeline, tmp_path):
+        datasetdir, _, _, _, _ = pipeline
+        out = wf.hist_plot_exp(["synthetic"], [datasetdir], ["score_0"],
+                               str(tmp_path))
+        assert os.path.isfile(out)
+
+    def test_avatar_plot(self, pipeline):
+        datasetdir, outdir, run, _, _ = pipeline
+        gif = wf.avatar_plot_exp("synthetic", datasetdir, outdir, run,
+                                 score="score_0", n_frames=4, n_subjects=3)
+        assert os.path.isfile(gif)
+
+
+class TestCli:
+    def test_cli_commands_registered(self):
+        from multivae_tpu.cli import _commands
+        cmds = _commands()
+        assert set(cmds) == {
+            "train", "daa", "anova", "daa-plot-most-connected",
+            "daa-plot-score-metric", "rsa", "rsa-plot", "hist-plot",
+            "avatar-plot", "daa-analysis", "daa-robustness",
+            "univariate-tests"}
+
+    def test_cli_train_invocation(self, tmp_path):
+        from multivae_tpu.cli import main
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=3,
+                              n_rois=8, missing_rate=0.0, seed=9)
+        rc = main(["train", "--dataset", "synthetic",
+                   "--datasetdir", datasetdir, "--outdir", outdir,
+                   "--input-dims", "3", "8", "--latent-dim", "3",
+                   "--style-dim", "2", "2", "--num-epochs", "2",
+                   "--batch-size", "16", "--use-tensorboard", "false"])
+        assert rc == 0
+        runs = pd.read_table(os.path.join(outdir, "runs.tsv"))
+        assert len(runs) == 1

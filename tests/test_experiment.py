@@ -1,0 +1,107 @@
+"""End-to-end slice: train_exp on a synthetic cohort, artifact contract,
+checkpoint reload via get_experiment."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from multivae_tpu.data import make_synthetic_cohort
+from multivae_tpu.train.checkpoint import find_checkpoint
+from multivae_tpu.train.config import Config
+from multivae_tpu.train.experiment import MultimodalExperiment
+from multivae_tpu.workflows import train_exp
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    datasetdir = str(root / "data")
+    outdir = str(root / "out")
+    os.makedirs(outdir)
+    make_synthetic_cohort(datasetdir, n_subjects=80, n_scores=4, n_rois=16,
+                          missing_rate=0.2, seed=1)
+    run = train_exp(
+        dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+        input_dims=[4, 16], latent_dim=4, style_dim=[2, 3],
+        num_epochs=6, batch_size=32, method="joint_elbo",
+        learning_rate=0.01, use_tensorboard=False)
+    return datasetdir, outdir, run
+
+
+class TestTrainExp:
+    def test_artifacts(self, trained_run):
+        datasetdir, outdir, run = trained_run
+        rundir = os.path.join(outdir, run)
+        assert os.path.isfile(os.path.join(rundir, "flags.json"))
+        assert os.path.isfile(os.path.join(outdir, "runs.tsv"))
+        runs = pd.read_table(os.path.join(outdir, "runs.tsv"))
+        assert run in runs["name"].tolist()
+        # checkpoints at epoch 5 and final (6 epochs -> dirs 0004, 0005)
+        ckpts = sorted(os.listdir(os.path.join(rundir, "checkpoints")))
+        assert ckpts == ["0004", "0005"]
+        assert os.path.isfile(
+            os.path.join(rundir, "checkpoints", "0005", "model"))
+        # metric CSV mirror
+        assert os.path.isfile(os.path.join(rundir, "logs", "metrics.csv"))
+
+    def test_metrics_logged(self, trained_run):
+        _, outdir, run = trained_run
+        df = pd.read_csv(os.path.join(outdir, run, "logs", "metrics.csv"))
+        assert {"train", "test"} <= set(df["phase"].unique())
+        assert "loss" in set(df["metric"])
+        assert "joint_divergence" in set(df["metric"])
+        # training should make progress
+        losses = df[(df.phase == "train") & (df.metric == "loss")]["value"]
+        assert losses.iloc[-1] < losses.iloc[0]
+
+    def test_get_experiment_reload(self, trained_run):
+        _, outdir, run = trained_run
+        rundir = os.path.join(outdir, run)
+        exp, cfg = MultimodalExperiment.get_experiment(
+            os.path.join(rundir, "flags.json"),
+            os.path.join(rundir, "checkpoints"))
+        assert cfg.str_experiment == run
+        # reloaded params produce finite forward passes on the test split
+        data, _, _ = exp.dataset_test.gather(range(8))
+        out = exp.model.apply({"params": exp.params[0]},
+                              {k: jax.numpy.asarray(v)
+                               for k, v in data.items()},
+                              sample_latents=False)
+        assert np.isfinite(np.asarray(out["joint_divergence"]))
+
+    def test_find_checkpoint_load_epoch(self, trained_run):
+        _, outdir, run = trained_run
+        ckdir = os.path.join(outdir, run, "checkpoints")
+        path, epoch = find_checkpoint(ckdir)
+        assert epoch == 5
+        path, epoch = find_checkpoint(ckdir, load_epoch=4)
+        assert epoch == 4
+
+
+class TestEnsembleTraining:
+    def test_two_member_ensemble(self, tmp_path):
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=4,
+                              n_rois=12, missing_rate=0.2, seed=2)
+        run = train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[4, 12], latent_dim=4, style_dim=[2, 3],
+            num_models=2, num_epochs=5, batch_size=16,
+            method="joint_elbo", use_tensorboard=False)
+        rundir = os.path.join(outdir, run)
+        for m in range(2):
+            assert os.path.isfile(os.path.join(
+                rundir, "checkpoints", f"model_{m}", "0004", "model"))
+            assert os.path.isfile(os.path.join(
+                rundir, "logs", f"model_{m}", "metrics.csv"))
+        exp, cfg = MultimodalExperiment.get_experiment(
+            os.path.join(rundir, "flags.json"),
+            os.path.join(rundir, "checkpoints"))
+        assert cfg.num_models == 2
+        assert len(exp.params) == 2
