@@ -1,0 +1,61 @@
+"""Latent-representation classification probes.
+
+The reference's version (``experiments/eval_metrics/representation.py:19-134``)
+is vestigial — it references ``exp.mm_vae``, which ``MultimodalExperiment``
+never defines, and is imported nowhere. This is a working equivalent: fit a
+logistic-regression probe on each subset's latent posterior means on the train
+split and score accuracy on the test split.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.linear_model import LogisticRegression
+
+
+def _subset_latents(exp, dataset, params, rng):
+    complete = dataset.idx_per_modality_subset[-1]
+    data, labels, _ = dataset.gather(complete)
+    batch = {k: jnp.asarray(v) for k, v in data.items()}
+    latents = exp.model.apply({"params": params}, batch, method="inference",
+                              rngs={"sample": rng})
+    feats = {s: np.asarray(mu) for s, (mu, _) in latents["subsets"].items()}
+    return feats, np.asarray(labels)
+
+
+def train_clf_lr_all_subsets(exp, model_idx: int = 0):
+    """Fit one probe per subset on train latents; returns {subset: clf}."""
+    cfg = exp.cfg
+    dataset = exp.dataset_train
+    if cfg.num_models > 1:
+        dataset = dataset[model_idx]
+    params = exp.params[model_idx]
+    feats, labels = _subset_latents(exp, dataset, params,
+                                    jax.random.PRNGKey(cfg.seed + 31))
+    clfs = {}
+    for s_key, x in feats.items():
+        if len(np.unique(labels)) < 2:
+            continue
+        clfs[s_key] = LogisticRegression(max_iter=1000).fit(x, labels)
+    return clfs
+
+
+def test_clf_lr_all_subsets(exp, clfs, model_idx: int = 0) -> Dict[str, float]:
+    """Accuracy of each subset probe on the test split."""
+    cfg = exp.cfg
+    dataset = exp.dataset_test
+    if cfg.num_models > 1:
+        dataset = dataset[model_idx]
+    params = exp.params[model_idx]
+    feats, labels = _subset_latents(exp, dataset, params,
+                                    jax.random.PRNGKey(cfg.seed + 32))
+    return {s_key: float(clf.score(feats[s_key], labels))
+            for s_key, clf in clfs.items() if s_key in feats}
+
+
+# keep the reference's function name without pytest collecting it as a test
+test_clf_lr_all_subsets.__test__ = False

@@ -1,0 +1,114 @@
+"""Sample-quality metrics: FID and PRD over decoded feature vectors.
+
+The reference scores generated samples with inception activations of saved
+PNGs (``experiments/eval_metrics/sample_quality.py``, ``experiments/fid/``).
+The cohorts here are tabular (7-d clinical + 444-d ROI vectors), so the
+feature vectors themselves are the embeddings: conditional generations per
+modality-subset are compared against the real test data directly (the
+adaptation recorded in SURVEY.md §2.4). The Frechet distance math matches
+``fid/fid_score.py:calculate_frechet_distance`` (``:139-197``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import linalg
+
+from .prd import compute_prd_from_embedding, prd_to_max_f_beta_pair
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
+                               eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussians."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def embedding_stats(x: np.ndarray):
+    x = np.asarray(x, dtype=np.float64)
+    return x.mean(axis=0), np.cov(x, rowvar=False)
+
+
+def calculate_fid_from_embeddings(eval_data: np.ndarray,
+                                  ref_data: np.ndarray) -> float:
+    mu1, s1 = embedding_stats(eval_data)
+    mu2, s2 = embedding_stats(ref_data)
+    return calculate_frechet_distance(mu1, s1, mu2, s2)
+
+
+def calculate_fid_given_paths(path_eval: str, path_ref: str) -> float:
+    """FID between two ``.npy`` sample dumps (API parity with
+    ``fid_score.py:calculate_fid_given_paths``)."""
+    return calculate_fid_from_embeddings(np.load(path_eval),
+                                         np.load(path_ref))
+
+
+def generate_conditional_samples(exp, model_idx: int = 0,
+                                 num_samples: Optional[int] = None,
+                                 rng=None):
+    """Per-subset conditional generations on the test split
+    (``BaseMMVae.cond_generation`` driven over the full test batch)."""
+    cfg = exp.cfg
+    dataset = exp.dataset_test
+    if cfg.num_models > 1:
+        dataset = dataset[model_idx]
+    params = exp.params[model_idx]
+    complete = dataset.idx_per_modality_subset[-1]
+    if num_samples is not None:
+        complete = complete[:num_samples]
+    data, _, _ = dataset.gather(complete)
+    batch = {k: jnp.asarray(v) for k, v in data.items()}
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed + 7)
+    latents = exp.model.apply({"params": params}, batch, method="inference",
+                              rngs={"sample": rng})
+    cond = exp.model.apply({"params": params}, latents["subsets"],
+                           method="cond_generation",
+                           rngs={"sample": jax.random.fold_in(rng, 1)})
+    real = {k: np.asarray(v) for k, v in data.items()}
+    gen = {s: {m: np.asarray(v) for m, v in d.items()}
+           for s, d in cond.items()}
+    return gen, real
+
+
+def calc_prd_score(exp, model_idx: int = 0, num_clusters: int = 20,
+                   num_runs: int = 5) -> Dict[str, float]:
+    """PRD F-beta scores per (subset, modality)
+    (``sample_quality.py:calc_prd_score`` adapted to feature embeddings)."""
+    gen, real = generate_conditional_samples(exp, model_idx)
+    n = len(next(iter(real.values())))
+    num_clusters = min(num_clusters, max(2, n // 5))
+    scores: Dict[str, float] = {}
+    for s_key, mods in gen.items():
+        for m_key, samples in mods.items():
+            prec, rec = compute_prd_from_embedding(
+                samples, real[m_key], num_clusters=num_clusters,
+                num_runs=num_runs, seed=exp.cfg.seed)
+            f_beta, f_beta_inv = prd_to_max_f_beta_pair(prec, rec)
+            scores[f"prd_{s_key}_{m_key}"] = f_beta
+            scores[f"prd_inv_{s_key}_{m_key}"] = f_beta_inv
+    return scores
+
+
+def calc_fid_scores(exp, model_idx: int = 0) -> Dict[str, float]:
+    """FID per (subset, modality) over feature embeddings."""
+    gen, real = generate_conditional_samples(exp, model_idx)
+    scores: Dict[str, float] = {}
+    for s_key, mods in gen.items():
+        for m_key, samples in mods.items():
+            scores[f"fid_{s_key}_{m_key}"] = calculate_fid_from_embeddings(
+                samples, real[m_key])
+    return scores

@@ -1,0 +1,194 @@
+"""Eval-metric tests: PRD identities, FID closed forms, IWAE sanity,
+representation probes, NLL/PRD training hooks."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multivae_tpu.data import make_synthetic_cohort
+from multivae_tpu.eval.likelihood import batch_likelihoods, estimate_likelihoods
+from multivae_tpu.eval.prd import (
+    compute_prd,
+    compute_prd_from_embedding,
+    prd_to_max_f_beta_pair,
+)
+from multivae_tpu.eval.representation import (
+    test_clf_lr_all_subsets,
+    train_clf_lr_all_subsets,
+)
+from multivae_tpu.eval.sample_quality import (
+    calc_fid_scores,
+    calc_prd_score,
+    calculate_fid_from_embeddings,
+    calculate_frechet_distance,
+)
+from multivae_tpu.train.experiment import MultimodalExperiment
+from multivae_tpu.workflows import train_exp
+
+RNG = np.random.default_rng(3)
+
+
+class TestPrd:
+    def test_identical_distributions_perfect(self):
+        dist = np.full(10, 0.1)
+        precision, recall = compute_prd(dist, dist)
+        f8, f18 = prd_to_max_f_beta_pair(precision, recall)
+        assert f8 > 0.99 and f18 > 0.99
+
+    def test_disjoint_distributions_zero(self):
+        p = np.array([0.5, 0.5, 0.0, 0.0])
+        q = np.array([0.0, 0.0, 0.5, 0.5])
+        precision, recall = compute_prd(p, q)
+        assert precision.max() < 1e-3
+        assert recall.max() < 1e-3
+
+    def test_monotone_curve(self):
+        p = np.array([0.6, 0.3, 0.1])
+        q = np.array([0.2, 0.3, 0.5])
+        precision, recall = compute_prd(p, q)
+        # lambda sweeps 0 -> inf across angles: recall starts maximal and
+        # falls; precision starts at 0 and rises
+        assert recall[0] >= recall[-1]
+        assert precision[-1] >= precision[0]
+        assert recall[0] > 0.99 and precision[-1] > 0.99
+
+    def test_embedding_path(self):
+        a = RNG.normal(size=(200, 4))
+        b = RNG.normal(size=(200, 4))
+        prec, rec = compute_prd_from_embedding(a, b, num_clusters=5,
+                                               num_runs=2)
+        f8, f18 = prd_to_max_f_beta_pair(prec, rec)
+        assert f8 > 0.8  # same distribution: high scores
+        c = RNG.normal(size=(200, 4)) + 10.0
+        prec, rec = compute_prd_from_embedding(a, c, num_clusters=5,
+                                               num_runs=2)
+        f8b, _ = prd_to_max_f_beta_pair(prec, rec)
+        assert f8b < 0.3
+
+
+class TestFid:
+    def test_identical_gaussians_zero(self):
+        mu = RNG.normal(size=5)
+        a = RNG.normal(size=(500, 5))
+        sigma = np.cov(a, rowvar=False)
+        assert abs(calculate_frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_mean_shift_equals_squared_distance(self):
+        sigma = np.eye(3)
+        mu1, mu2 = np.zeros(3), np.array([1.0, 2.0, 2.0])
+        d = calculate_frechet_distance(mu1, sigma, mu2, sigma)
+        np.testing.assert_allclose(d, 9.0, rtol=1e-6)
+
+    def test_from_embeddings(self):
+        a = RNG.normal(size=(400, 3))
+        b = RNG.normal(size=(400, 3))
+        assert calculate_fid_from_embeddings(a, b) < 0.5
+        c = b + 5.0
+        assert calculate_fid_from_embeddings(a, c) > 50.0
+
+
+@pytest.fixture(scope="module")
+def small_exp(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evalexp")
+    datasetdir = str(root / "data")
+    outdir = str(root / "out")
+    os.makedirs(outdir)
+    make_synthetic_cohort(datasetdir, n_subjects=100, n_scores=4, n_rois=10,
+                          missing_rate=0.1, seed=21)
+    run = train_exp(dataset="synthetic", datasetdir=datasetdir,
+                    outdir=outdir, input_dims=[4, 10], latent_dim=4,
+                    style_dim=[2, 2], num_epochs=10, batch_size=32,
+                    method="joint_elbo", use_tensorboard=False, log_every=10)
+    exp, cfg = MultimodalExperiment.get_experiment(
+        os.path.join(outdir, run, "flags.json"),
+        os.path.join(outdir, run, "checkpoints"))
+    return exp
+
+
+class TestLikelihood:
+    def test_all_subsets_estimated(self, small_exp):
+        lhoods = estimate_likelihoods(small_exp, num_imp_samples=6,
+                                      batch_size=16)
+        assert set(lhoods) == {"clinical", "rois", "clinical_rois"}
+        for s_key, vals in lhoods.items():
+            assert set(vals) == {"clinical", "rois", "joint"}
+            for v in vals.values():
+                assert np.isfinite(v)
+
+    def test_joint_leq_sum_of_marginal_like_scale(self, small_exp):
+        # joint log-likelihood should be on the order of the sum of
+        # marginals (sanity of scales, not a strict bound)
+        lhoods = estimate_likelihoods(small_exp, num_imp_samples=6,
+                                      batch_size=16)
+        j = lhoods["clinical_rois"]["joint"]
+        s = (lhoods["clinical_rois"]["clinical"]
+             + lhoods["clinical_rois"]["rois"])
+        assert abs(j - s) < abs(s) + 50
+
+    def test_more_samples_not_worse(self, small_exp):
+        # IWAE bound tightens (increases) with more importance samples,
+        # up to noise
+        dataset = small_exp.dataset_test
+        idxs = dataset.idx_per_modality_subset[-1][:16]
+        data, _, _ = dataset.gather(idxs)
+        batch = {k: jnp.asarray(v) for k, v in data.items()}
+        ll_small = batch_likelihoods(small_exp.model, small_exp.params[0],
+                                     batch, jax.random.PRNGKey(0), 2)
+        ll_big = batch_likelihoods(small_exp.model, small_exp.params[0],
+                                   batch, jax.random.PRNGKey(0), 32)
+        assert (ll_big["clinical_rois"]["joint"]
+                > ll_small["clinical_rois"]["joint"] - 5.0)
+
+
+class TestSampleQuality:
+    def test_prd_scores(self, small_exp):
+        scores = calc_prd_score(small_exp, num_runs=2)
+        assert any(k.startswith("prd_clinical_rois") for k in scores)
+        for v in scores.values():
+            assert 0.0 <= v <= 1.0
+
+    def test_fid_scores(self, small_exp):
+        scores = calc_fid_scores(small_exp)
+        assert "fid_clinical_rois_rois" in scores
+        for v in scores.values():
+            assert np.isfinite(v) and v >= 0
+
+
+class TestRepresentation:
+    def test_probes(self, small_exp):
+        clfs = train_clf_lr_all_subsets(small_exp)
+        if not clfs:
+            pytest.skip("single-class labels in split")
+        accs = test_clf_lr_all_subsets(small_exp, clfs)
+        for acc in accs.values():
+            assert 0.0 <= acc <= 1.0
+
+
+class TestTrainingHooks:
+    def test_nll_and_prd_during_training(self, tmp_path):
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=3,
+                              n_rois=8, missing_rate=0.0, seed=23)
+        from multivae_tpu.train.config import Config
+        from multivae_tpu.train.trainer import run_epochs
+        from multivae_tpu.utils.filehandling import create_dir_structure
+        cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                     dir_experiment=outdir, input_dim=[3, 8], class_dim=3,
+                     style_dim=[2, 2], end_epoch=2, batch_size=16,
+                     method="joint_elbo", calc_nll=True, calc_prd=True,
+                     eval_freq=2, eval_freq_fid=2,
+                     allow_missing_blocks=False).derive()
+        create_dir_structure(cfg)
+        exp = MultimodalExperiment(cfg)
+        exp.set_optimizers()
+        run_epochs(exp, use_tensorboard=False, progress=False)
+        import pandas as pd
+        df = pd.read_csv(os.path.join(cfg.dir_logs, "metrics.csv"))
+        assert (df["phase"] == "Likelihoods").any()
+        assert (df["phase"] == "PRD").any()
