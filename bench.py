@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark: MoPoE train-step throughput (flagship HBN-shaped config) and
+DAA avatar-decode throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+* value: jitted train steps/sec on the default JAX backend (TPU when present)
+  for the MoPoE (joint_elbo) config — 2 modalities (7-d clinical, 444-d ROIs),
+  latent 20, style [3, 20], hidden 256, batch 256, learned output scale.
+* vs_baseline: ratio against a faithful PyTorch CPU replica of the same train
+  step (the reference itself cannot run in this image — iterative-
+  stratification/statsmodels are absent — so the baseline reimplements the
+  reference's forward/loss/Adam semantics in torch, matching
+  run_epochs.py:73-135 + BaseMMVae.forward).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 256
+DIMS = (7, 444)
+CLASS_DIM = 20
+STYLE = (3, 20)
+HIDDEN = 256
+WARMUP = 5
+STEPS = 300
+AVATAR_SAMPLES = 30  # per-score decode sweep size for the avatars metric
+
+
+# --------------------------------------------------------------------------
+# JAX path
+# --------------------------------------------------------------------------
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+
+    from multivae_tpu.models import build_model, make_modalities
+    from multivae_tpu.train.config import Config
+    from multivae_tpu.train.train_step import init_train_state, make_train_step
+
+    cfg = Config(method="joint_elbo", input_dim=list(DIMS),
+                 class_dim=CLASS_DIM, style_dim=list(STYLE),
+                 hidden_dim=HIDDEN, num_hidden_layer_encoder=1,
+                 num_hidden_layer_decoder=0, learn_output_scale=True,
+                 likelihood="normal", batch_size=BATCH,
+                 initial_learning_rate=0.002).derive()
+    model = build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
+                                             cfg.likelihood))
+    rng = np.random.default_rng(0)
+    batch = {
+        "clinical": jnp.asarray(rng.normal(size=(BATCH, DIMS[0]))
+                                .astype(np.float32)),
+        "rois": jnp.asarray(rng.normal(size=(BATCH, DIMS[1]))
+                            .astype(np.float32)),
+    }
+    params, opt_state = init_train_state(cfg, model, batch)
+    # donation is flaky through the axon relay; keep copies
+    step = make_train_step(cfg, model, donate=False)
+    key = jax.random.PRNGKey(0)
+
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, _ = step(params, opt_state, batch, sub)
+    _ = float(loss)  # block_until_ready is unreliable on the axon relay;
+    # fetching the chained loss forces the whole dependency chain
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, _ = step(params, opt_state, batch, sub)
+    _ = float(loss)
+    train_sps = STEPS / (time.perf_counter() - t0)
+
+    # avatar decode throughput: one (sample x score) sweep over a 50-subject
+    # batch (workflow.py:406-419 inner loops)
+    from multivae_tpu.analysis.daa import avatar_sweep
+    data = {k: v[:50] for k, v in batch.items()}
+    grid = jnp.asarray(rng.normal(size=(AVATAR_SAMPLES, 50, DIMS[0]))
+                       .astype(np.float32))
+    out = avatar_sweep(model, params, data, grid, True,
+                       jax.random.PRNGKey(1), chunk=16)
+    _ = float(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        out = avatar_sweep(model, params, data, grid, True,
+                           jax.random.fold_in(jax.random.PRNGKey(1), i),
+                           chunk=16)
+        _ = float(out[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    avatars_per_sec = (50 * AVATAR_SAMPLES * DIMS[0]) / dt
+    return train_sps, avatars_per_sec
+
+
+# --------------------------------------------------------------------------
+# torch CPU baseline: same architecture, fusion, loss and optimizer
+# --------------------------------------------------------------------------
+def bench_torch():
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+
+    class Enc(tnn.Module):
+        def __init__(self, d_in, style_dim):
+            super().__init__()
+            self.trunk = tnn.Sequential(tnn.Linear(d_in, HIDDEN), tnn.ReLU())
+            self.cmu = tnn.Linear(HIDDEN, CLASS_DIM)
+            self.clv = tnn.Linear(HIDDEN, CLASS_DIM)
+            self.smu = tnn.Linear(HIDDEN, style_dim)
+            self.slv = tnn.Linear(HIDDEN, style_dim)
+
+        def forward(self, x):
+            h = self.trunk(x)
+            return self.smu(h), self.slv(h), self.cmu(h), self.clv(h)
+
+    class Dec(tnn.Module):
+        def __init__(self, d_out, style_dim):
+            super().__init__()
+            self.out = tnn.Linear(style_dim + CLASS_DIM, d_out)
+            self.logvar = tnn.Parameter(torch.full((1, d_out), -3.0))
+
+        def forward(self, s, c):
+            z = torch.cat([s, c], dim=1)
+            return self.out(z), (self.logvar * 0.5).exp()
+
+    encs = [Enc(DIMS[0], STYLE[0]), Enc(DIMS[1], STYLE[1])]
+    decs = [Dec(DIMS[0], STYLE[0]), Dec(DIMS[1], STYLE[1])]
+    params = [p for m in encs + decs for p in m.parameters()]
+    opt = torch.optim.Adam(params, lr=0.002, betas=(0.9, 0.999))
+
+    rng = np.random.default_rng(0)
+    xs = [torch.tensor(rng.normal(size=(BATCH, d)).astype(np.float32))
+          for d in DIMS]
+
+    def poe(mus, logvars):
+        var = torch.exp(logvars) + 1e-8
+        t = 1.0 / var
+        mu = (mus * t).sum(0) / t.sum(0)
+        return mu, torch.log(1.0 / t.sum(0))
+
+    def kl(mu, lv):
+        return -0.5 * torch.sum(1 - lv.exp() - mu.pow(2) + lv) / BATCH
+
+    def step():
+        opt.zero_grad()
+        enc_out = [enc(x) for enc, x in zip(encs, xs)]
+        cmus = torch.stack([e[2] for e in enc_out])
+        clvs = torch.stack([e[3] for e in enc_out])
+        zero = torch.zeros(1, BATCH, CLASS_DIM)
+        # subset posteriors: singletons + full set (with prior expert)
+        subs = [(cmus[0], clvs[0]), (cmus[1], clvs[1]),
+                poe(torch.cat([cmus, zero]), torch.cat([clvs, zero]))]
+        mus = torch.stack([s[0] for s in subs])
+        lvs = torch.stack([s[1] for s in subs])
+        # mixture selection (uniform over 3 subsets)
+        k = BATCH // 3
+        joint_mu = torch.cat([mus[0, :k], mus[1, k:2 * k], mus[2, 2 * k:]])
+        joint_lv = torch.cat([lvs[0, :k], lvs[1, k:2 * k], lvs[2, 2 * k:]])
+        zc = joint_mu + torch.randn_like(joint_mu) * (0.5 * joint_lv).exp()
+        group_div = sum(kl(mus[i], lvs[i]) for i in range(3)) / 3
+        loss = group_div
+        for m, (enc_o, dec, x) in enumerate(zip(enc_out, decs, xs)):
+            smu, slv = enc_o[0], enc_o[1]
+            zs = smu + torch.randn_like(smu) * (0.5 * slv).exp()
+            loc, scale = dec(zs, zc)
+            nll = -torch.distributions.Normal(loc, scale).log_prob(x).sum() \
+                / BATCH
+            loss = loss + nll + kl(smu, slv)
+        loss.backward()
+        opt.step()
+        return loss
+
+    for _ in range(WARMUP):
+        step()
+    t0 = time.perf_counter()
+    n = max(STEPS // 2, 10)
+    for _ in range(n):
+        step()
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    train_sps, avatars_per_sec = bench_jax()
+    torch_sps = bench_torch()
+    result = {
+        "metric": "mopoe_train_steps_per_sec",
+        "value": round(train_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(train_sps / torch_sps, 3),
+        "baseline_torch_cpu_steps_per_sec": round(torch_sps, 3),
+        "avatars_per_sec": round(avatars_per_sec, 1),
+        "config": "joint_elbo b256 dims(7,444) latent20 style(3,20)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -164,6 +164,7 @@ class MultimodalVAE(nn.Module):
             enc_mods, present)
         distr_subsets = {k: (sub_mus[i], sub_logvars[i])
                          for i, k in enumerate(keys)}
+        subset_stack = (sub_mus, sub_logvars)
         sel = [i for i, k in enumerate(keys)
                if self._fusion_condition(self.subsets[k], present)]
         mus = sub_mus[np.asarray(sel)]
@@ -188,6 +189,7 @@ class MultimodalVAE(nn.Module):
             "weights": weights,
             "joint": joint,
             "subsets": distr_subsets,
+            "subset_stack": subset_stack,
         }
 
     # ------------------------------------------------------------- divergence
@@ -216,21 +218,37 @@ class MultimodalVAE(nn.Module):
         latents = self.inference(batch, sample=sample_latents,
                                  use_expert=use_expert, train=train)
         joint_mu, joint_logvar = latents["joint"]
+
+        # one fused normal draw covers the joint latent and every style
+        # latent (a single RNG kernel instead of one per latent space)
+        eps = None
         if sample_latents:
-            class_z = self._reparameterize(joint_mu, joint_logvar)
+            b = joint_mu.shape[0]
+            style_widths = {
+                mod.name: mod.style_dim for mod in self.modalities
+                if (mod.name in batch and self.factorized_representation
+                    and mod.style_dim > 0)}
+            total = self.class_dim + sum(style_widths.values())
+            eps = jax.random.normal(self.make_rng("sample"), (b, total),
+                                    joint_mu.dtype)
+            class_z = joint_mu + eps[:, :self.class_dim] * jnp.exp(
+                0.5 * joint_logvar)
         else:
             class_z = joint_mu
         divs = self._calc_joint_divergence(
             latents["mus"], latents["logvars"], latents["weights"])
 
         rec = {}
+        offset = self.class_dim
         for m, mod in enumerate(self.modalities):
             if mod.name not in batch:
                 continue
             s_mu, s_lv = latents["modalities"][mod.name + "_style"]
             if (self.factorized_representation and sample_latents
                     and mod.style_dim > 0):
-                style_z = self._reparameterize(s_mu, s_lv)
+                style_z = s_mu + eps[:, offset:offset + mod.style_dim] * \
+                    jnp.exp(0.5 * s_lv)
+                offset += mod.style_dim
             else:
                 style_z = s_mu
             loc, scale = self.decoders[mod.name](style_z, class_z, train=train)

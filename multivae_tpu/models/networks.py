@@ -69,12 +69,19 @@ class Encoder(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             width = self.hidden_dim
-        class_mu = _dense(self.class_dim, width, "class_mu")(h)
-        class_logvar = _dense(self.class_dim, width, "class_logvar")(h)
+        # all heads fused into one projection (the step is kernel-count
+        # bound on TPU); slices recover the reference's four heads, whose
+        # torch-Linear init law depends only on fan_in, so the fused kernel
+        # is distributionally identical
+        has_style = self.factorized and self.style_dim > 0
+        s = self.style_dim if has_style else 0
+        heads = _dense(2 * self.class_dim + 2 * s, width, "heads")(h)
+        class_mu = heads[..., :self.class_dim]
+        class_logvar = heads[..., self.class_dim:2 * self.class_dim]
         style_mu = style_logvar = None
-        if self.factorized and self.style_dim > 0:
-            style_mu = _dense(self.style_dim, width, "style_mu")(h)
-            style_logvar = _dense(self.style_dim, width, "style_logvar")(h)
+        if has_style:
+            style_mu = heads[..., 2 * self.class_dim:2 * self.class_dim + s]
+            style_logvar = heads[..., 2 * self.class_dim + s:]
         return style_mu, style_logvar, class_mu, class_logvar
 
 
@@ -107,10 +114,13 @@ class Decoder(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             width = self.hidden_dim
-        x_hat = _dense(self.output_dim, width, "out_mu")(h)
         if self.learn_output_sample_scale:
-            logvar = _dense(self.output_dim, width, "out_logvar")(h)
+            # fused mu+logvar projection (single matmul)
+            both = _dense(2 * self.output_dim, width, "out_heads")(h)
+            x_hat = both[..., :self.output_dim]
+            logvar = both[..., self.output_dim:]
         else:
+            x_hat = _dense(self.output_dim, width, "out_mu")(h)
             logvar = self.param(
                 "out_logvar",
                 lambda key, shape: jnp.full(shape, self.initial_out_logvar),

@@ -49,7 +49,18 @@ def calc_log_probs(model, batch, rec) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarr
 
 
 def calc_klds(results) -> Dict[str, jnp.ndarray]:
-    """Subset-posterior KLs to the unit prior (``run_epochs.py:41-48``)."""
+    """Subset-posterior KLs to the unit prior (``run_epochs.py:41-48``).
+
+    Computed from the stacked ``[S, B, D]`` subset posteriors in one
+    reduction rather than one kernel per subset."""
+    keys = list(results["latents"]["subsets"])
+    stack = results["latents"].get("subset_stack")
+    if stack is not None:
+        mus, logvars = stack
+        b = mus.shape[1]
+        rows = jnp.sum(
+            ops.kl_divergence_per_sample(mus, logvars), axis=1) / b  # [S]
+        return {key: rows[i] for i, key in enumerate(keys)}
     klds = {}
     for key, (mu, logvar) in results["latents"]["subsets"].items():
         klds[key] = ops.kl_divergence(mu, logvar, norm_value=mu.shape[0])
