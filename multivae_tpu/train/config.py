@@ -80,10 +80,13 @@ class Config:
     save_figure: bool = False
     load_saved: bool = False
 
-    # parallelism (new capability; absent in the reference)
+    # parallelism / performance (new capabilities; absent in the reference)
     data_parallel: int = 1          # devices along the batch axis
     ensemble_parallel: bool = True  # vmap ensemble members when possible
     precision: str = "float32"      # or "bfloat16" for the compute path
+    fused_training: bool = True     # single-Pallas-kernel train step + epoch
+    # scan on supported configs (ops/fused_step.py); per-step metric logging
+    # then reduces to the loss (full metric families still logged at test)
 
     # derived (filled by derive())
     num_mods: int = 0

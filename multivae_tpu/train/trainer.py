@@ -32,7 +32,7 @@ def _to_device(batch: Dict[str, np.ndarray]):
 
 
 def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
-                    rng, log_every: int = 1):
+                    rng, log_every: int = 1, fused_scan_fn=None):
     cfg = exp.cfg
     dataset = exp.dataset_train
     sub_indices = None
@@ -44,8 +44,36 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
     params = exp.params[model_idx]
     opt_state = exp.opt_states[model_idx]
     n_steps = 0
-    for iteration, idxs in enumerate(sampler):
+    mod_names = [m.name for m in exp.model.modalities]
+
+    all_batches = list(sampler)
+    fused_batches, general_batches = [], []
+    for idxs in all_batches:
         data, _, _ = dataset.gather(idxs)
+        # fused epoch-scan handles full-size complete-modality batches; the
+        # remainder (missing-modality groups, last partial batches) takes the
+        # general per-step path
+        if (fused_scan_fn is not None and len(idxs) == cfg.batch_size
+                and all(m in data for m in mod_names)):
+            fused_batches.append(data)
+        else:
+            general_batches.append(data)
+
+    if fused_batches:
+        stacked = {m: jax.numpy.asarray(
+            np.stack([b[m] for b in fused_batches]))
+            for m in mod_names}
+        rng, sub = jax.random.split(rng)
+        rngs = jax.random.split(sub, len(fused_batches))
+        params, opt_state, losses = fused_scan_fn(params, opt_state,
+                                                  stacked, rngs)
+        n_steps += len(fused_batches)
+        if logger is not None:
+            for i, loss in enumerate(np.asarray(losses)):
+                if i % log_every == 0:
+                    logger.write_training_logs({"loss": loss})
+
+    for iteration, data in enumerate(general_batches):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss, metrics = step_fn(
             params, opt_state, _to_device(data), sub)
@@ -98,6 +126,15 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     cfg.save(os.path.join(cfg.dir_experiment_run, "flags.json"))
     step_fn = make_train_step(cfg, exp.model)
     eval_fn = make_eval_step(cfg, exp.model)
+    fused_scan_fn = None
+    if cfg.fused_training:
+        from ..ops import fused_step as _fs
+        example = {m.name: None for m in exp.model.modalities}
+        if _fs.supports_fused(cfg, exp.model, example):
+            from .train_step import make_optimizer
+            interpret = jax.default_backend() == "cpu"
+            fused_scan_fn = _fs.make_fused_scan_train_step(
+                cfg, exp.model, make_optimizer(cfg), interpret=interpret)
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),
@@ -107,7 +144,8 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
         t0 = time.time()
         for epoch in range(cfg.start_epoch, cfg.end_epoch):
             rng, n_steps = train_one_epoch(exp, model_idx, step_fn, logger,
-                                           rng, log_every)
+                                           rng, log_every,
+                                           fused_scan_fn=fused_scan_fn)
             rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng, epoch)
             if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
                 ckpt_dir = model_checkpoint_dir(cfg, model_idx, epoch)

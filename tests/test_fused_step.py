@@ -1,0 +1,210 @@
+"""Fused-train-step tests: the jnp reference against a composition of the
+golden-tested ops, the Pallas kernel (interpret mode) against the reference,
+hand gradients against jax.grad, and training-trajectory equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multivae_tpu import ops
+from multivae_tpu.models import build_model, make_modalities
+from multivae_tpu.ops import fused_step as fs
+from multivae_tpu.train import Config
+from multivae_tpu.train.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+B = 48
+RNG = np.random.default_rng(0)
+
+
+def make_cfg(**kw):
+    kw.setdefault("input_dim", [7, 36])
+    kw.setdefault("style_dim", [3, 5])
+    kw.setdefault("beta", 1.3)
+    kw.setdefault("beta_style", 0.7)
+    kw.setdefault("beta_content", 1.9)
+    kw.setdefault("learn_output_scale", True)
+    cfg = Config(method="joint_elbo", class_dim=6, hidden_dim=32,
+                 num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
+                 **kw)
+    return cfg.derive()
+
+
+def setup(cfg):
+    model = build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
+                                             cfg.likelihood))
+    batch = {
+        "clinical": jnp.asarray(RNG.normal(size=(B, cfg.input_dim[0]))
+                                .astype(np.float32)),
+        "rois": jnp.asarray(RNG.normal(size=(B, cfg.input_dim[1]))
+                            .astype(np.float32)),
+    }
+    params, opt_state = init_train_state(cfg, model, batch)
+    return model, batch, params, opt_state
+
+
+def eps_draws(cfg):
+    return (jnp.asarray(RNG.normal(size=(B, cfg.class_dim)).astype(np.float32)),
+            jnp.asarray(RNG.normal(size=(B, cfg.style_dim[0])).astype(np.float32)),
+            jnp.asarray(RNG.normal(size=(B, cfg.style_dim[1])).astype(np.float32)))
+
+
+class TestReferenceAgainstOps:
+    def test_loss_matches_ops_composition(self):
+        """Recompose the loss from the golden-tested ops primitives with the
+        same explicit eps and compare."""
+        cfg = make_cfg()
+        model, batch, params, _ = setup(cfg)
+        flat = fs.flatten_params(params, model)
+        eps_j, eps_s1, eps_s2 = eps_draws(cfg)
+        dims = fs.dims_from(cfg, B)
+        consts = fs.FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
+        got = fs.fused_loss_reference(flat, batch["clinical"], batch["rois"],
+                                      eps_j, eps_s1, eps_s2, dims, consts)
+
+        # --- ops composition (the general model path, explicit eps) ---
+        enc = model.apply({"params": params}, batch, method="encode")
+        mus = jnp.stack([enc["clinical"][0], enc["rois"][0]])
+        logvars = jnp.stack([enc["clinical"][1], enc["rois"][1]])
+        mask = np.array([[1, 0], [0, 1], [1, 1]], np.float32)
+        prior = np.array([0, 0, 1], np.float32)
+        sub_mus, sub_lvs = ops.masked_poe_all_subsets(mus, logvars, mask,
+                                                      prior)
+        joint_mu, joint_lv = ops.mixture_component_selection(sub_mus, sub_lvs)
+        zc = joint_mu + eps_j * jnp.exp(0.5 * joint_lv)
+        gd, _ = ops.group_divergence_moe(
+            sub_mus, sub_lvs, np.full(3, 1 / 3, np.float32),
+            normalization=B)
+        loss = cfg.beta * cfg.beta_content * gd
+        for m, (mod, eps_s) in enumerate(zip(model.modalities,
+                                             (eps_s1, eps_s2))):
+            smu, slv = enc[mod.name + "_style"]
+            zs = smu + eps_s * jnp.exp(0.5 * slv)
+            loc, scale = model.apply(
+                {"params": params}, zs, zc,
+                method=lambda mm, s, c, _m=mod.name: mm.decoders[_m](s, c))
+            nll = -ops.calc_log_prob("normal", batch[mod.name], loc, scale,
+                                     norm_value=B)
+            kls = ops.kl_divergence(smu, slv, norm_value=B)
+            loss = loss + nll + cfg.beta * cfg.beta_style ** 2 * kls
+        np.testing.assert_allclose(got, loss, rtol=2e-5)
+
+
+class TestPallasKernel:
+    @pytest.mark.parametrize("learn_scale", [True, False])
+    def test_loss_and_grads_match_autodiff(self, learn_scale):
+        cfg = make_cfg(learn_output_scale=learn_scale)
+        model, batch, params, _ = setup(cfg)
+        flat = fs.flatten_params(params, model)
+        eps_j, eps_s1, eps_s2 = eps_draws(cfg)
+        dims = fs.dims_from(cfg, B)
+        consts = fs.FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
+
+        loss_p, grads_p = fs.fused_loss_and_grads(
+            flat, batch["clinical"], batch["rois"], eps_j, eps_s1, eps_s2,
+            dims, consts, learn_scale=learn_scale, interpret=True)
+
+        ref_fn = lambda p: fs.fused_loss_reference(
+            p, batch["clinical"], batch["rois"], eps_j, eps_s1, eps_s2,
+            dims, consts, learn_scale=learn_scale)
+        loss_r, grads_r = jax.value_and_grad(ref_fn)(flat)
+        np.testing.assert_allclose(loss_p, loss_r, rtol=1e-5)
+        for name in fs.FLAT_NAMES:
+            np.testing.assert_allclose(
+                grads_p[name], grads_r[name], rtol=5e-4, atol=1e-5,
+                err_msg=name)
+
+    def test_frozen_scale_zero_grad(self):
+        cfg = make_cfg(learn_output_scale=False)
+        model, batch, params, _ = setup(cfg)
+        flat = fs.flatten_params(params, model)
+        eps_j, eps_s1, eps_s2 = eps_draws(cfg)
+        dims = fs.dims_from(cfg, B)
+        consts = fs.FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
+        _, grads = fs.fused_loss_and_grads(
+            flat, batch["clinical"], batch["rois"], eps_j, eps_s1, eps_s2,
+            dims, consts, learn_scale=False, interpret=True)
+        np.testing.assert_allclose(grads["dec1_olv"], 0.0)
+        np.testing.assert_allclose(grads["dec2_olv"], 0.0)
+
+
+class TestSupports:
+    def test_supported_flagship(self):
+        cfg = make_cfg()
+        model, batch, _, _ = setup(cfg)
+        assert fs.supports_fused(cfg, model, batch)
+
+    def test_unsupported_cases(self):
+        cfg = make_cfg()
+        model, batch, _, _ = setup(cfg)
+        assert not fs.supports_fused(cfg, model,
+                                     {"clinical": batch["clinical"]})
+        cfg2 = make_cfg(); cfg2.method = "moe"
+        assert not fs.supports_fused(cfg2, model, batch)
+        cfg3 = make_cfg(dropout_rate=0.5)
+        assert not fs.supports_fused(cfg3, model, batch)
+        cfg4 = make_cfg(learn_output_sample_scale=True)
+        assert not fs.supports_fused(cfg4, model, batch)
+
+
+class TestTrainingEquivalence:
+    def test_fused_step_trains_like_general(self):
+        cfg = make_cfg(beta=1.0, beta_style=1.0, beta_content=1.0,
+                       initial_learning_rate=5e-3)
+        model, batch, params, opt_state = setup(cfg)
+        optimizer = make_optimizer(cfg)
+        fused = fs.make_fused_train_step(cfg, model, optimizer,
+                                         interpret=True)
+        general = make_train_step(cfg, model, donate=False)
+        pf, of = params, opt_state
+        pg, og = params, opt_state
+        rng = jax.random.PRNGKey(0)
+        for i in range(150):
+            rng, sub = jax.random.split(rng)
+            pf, of, lf, _ = fused(pf, of, batch, sub)
+            pg, og, lg, _ = general(pg, og, batch, sub)
+        lf, lg = float(lf), float(lg)
+        # same data, same init, same optimizer: trajectories differ only via
+        # the rng stream layout; converged losses must agree closely
+        assert abs(lf - lg) / abs(lg) < 0.05, (lf, lg)
+
+
+class TestEpochKernel:
+    def test_epoch_matches_sequential_steps(self):
+        """The grid epoch kernel must reproduce N sequential fused steps
+        (same eps, same Adam math) exactly."""
+        cfg = make_cfg(beta=1.0, beta_style=1.0, beta_content=1.0)
+        model, batch, params, opt_state = setup(cfg)
+        optimizer = make_optimizer(cfg)
+        n_steps = 5
+        rngs = jax.random.split(jax.random.PRNGKey(3), n_steps)
+        batches = {k: jnp.stack([v + 0.01 * i for i in range(n_steps)])
+                   for k, v in batch.items()}
+
+        scan_fn = fs.make_fused_scan_train_step(cfg, model, optimizer,
+                                                interpret=True,
+                                                matmul_bf16=False)
+        p_e, s_e, losses_e = scan_fn(params, opt_state, batches, rngs)
+
+        # sequential reference: single-step fused kernel + flat_adam
+        step = fs.make_fused_train_step(cfg, model, optimizer,
+                                        interpret=True)
+        p_s, s_s = params, opt_state
+        losses_s = []
+        for i in range(n_steps):
+            bi = {k: v[i] for k, v in batches.items()}
+            p_s, s_s, loss, _ = step(p_s, s_s, bi, rngs[i])
+            losses_s.append(float(loss))
+        np.testing.assert_allclose(np.asarray(losses_e), losses_s,
+                                   rtol=1e-5)
+        for va, vb in zip(jax.tree_util.tree_leaves(p_e),
+                          jax.tree_util.tree_leaves(p_s)):
+            np.testing.assert_allclose(va, vb, rtol=1e-4, atol=1e-6)
+        assert int(s_e.count) == int(s_s.count) == n_steps
+        np.testing.assert_allclose(s_e.mu, s_s.mu, rtol=1e-4, atol=2e-6)
+        np.testing.assert_allclose(s_e.nu, s_s.nu, rtol=1e-4, atol=1e-8)
