@@ -51,3 +51,25 @@ __all__ = [
     "sample",
     "unit_gaussian_log_pdf",
 ]
+
+from .divergences_extra import (
+    alpha_jsd_modalities_mixture,
+    gaussian_scaling_factor,
+    gaussian_scaling_factor_self,
+    im_kernel_sum,
+    kl_divergence_lb_gauss_mixture,
+    kl_divergence_ub_gauss_mixture,
+    mmd_loss,
+    modality_divergence,
+)
+
+__all__ += [
+    "alpha_jsd_modalities_mixture",
+    "gaussian_scaling_factor",
+    "gaussian_scaling_factor_self",
+    "im_kernel_sum",
+    "kl_divergence_lb_gauss_mixture",
+    "kl_divergence_ub_gauss_mixture",
+    "mmd_loss",
+    "modality_divergence",
+]

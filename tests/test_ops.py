@@ -244,3 +244,39 @@ class TestReparamAndLogPdfs:
         got = ops.log_mean_exp(jnp.array(x), axis=1)
         want = np.log(np.mean(np.exp(x), axis=1, keepdims=True))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestExtraDivergences:
+    def test_mmd_same_distribution_small(self):
+        a = jnp.asarray(RNG.normal(size=(64, 4)).astype(np.float32))
+        b = jnp.asarray(RNG.normal(size=(64, 4)).astype(np.float32))
+        c = jnp.asarray((RNG.normal(size=(64, 4)) + 5).astype(np.float32))
+        near = float(ops.mmd_loss(a, b))
+        far = float(ops.mmd_loss(a, c))
+        assert far > near
+
+    def test_modality_divergence_matrix(self):
+        m1, l1 = _rand(10, 4), _rand(10, 4)
+        m2, l2 = _rand(10, 4), _rand(10, 4)
+        klds_sum, klds_mod = ops.modality_divergence(
+            *map(jnp.array, (m1, l1, m2, l2)))
+        assert np.isfinite(float(klds_sum))
+        assert np.isfinite(float(klds_mod))
+        # poe flag -> single cross KL
+        kl = ops.modality_divergence(*map(jnp.array, (m1, l1, m2, l2)),
+                                     modality_poe=True)
+        want = ops.kl_divergence(*map(jnp.array, (m1, l1, m2, l2)),
+                                 norm_value=10)
+        np.testing.assert_allclose(kl, want, rtol=1e-5)
+
+    def test_jsd_mixture_bounds_bracket(self):
+        # for identical experts, the mixture KL bounds should be finite and
+        # the averaged estimate well-defined
+        mu, lv = _rand(16, 4), _rand(16, 4) * 0.1
+        alpha = [1 / 3] * 3
+        summed, klds, ents = ops.alpha_jsd_modalities_mixture(
+            jnp.array(mu), jnp.array(lv), jnp.array(mu), jnp.array(lv),
+            alpha, batch_size=16)
+        assert np.isfinite(float(summed))
+        assert klds.shape == (2,)
+        assert np.isfinite(np.asarray(ents)).all()
