@@ -65,10 +65,39 @@ def full_batch(dataset, idxs):
     return {k: jnp.asarray(v) for k, v in data.items()}, metadata
 
 
+def analytic_reconstruction_stats(model, params, data):
+    """Exact expectation of the reference's M-pass averaging.
+
+    For linear decoders with a per-feature output scale the Monte-Carlo mean
+    over reparameterized passes (``workflow.py:388-398``) has a closed form:
+    the decode of the latent means (joint via the deterministic mixture
+    partition). One forward pass replaces M=1000.
+    """
+    latents = model.apply({"params": params}, data, method="inference")
+    joint_mu = latents["joint"][0]
+    outs = []
+    for mod in model.modalities:
+        s_mu, _ = latents["modalities"][mod.name + "_style"]
+        loc, scale = model.apply(
+            {"params": params}, s_mu, joint_mu,
+            method=lambda m, s, c, _n=mod.name: m.decoders[_n](s, c))
+        outs.append((loc, scale))
+    (c_loc, c_scale), (r_loc, _) = outs
+    return c_loc, c_scale, r_loc
+
+
 def reconstruction_stats(model, params, data, M: int, rng,
-                         chunk: int = 32):
+                         chunk: int = 32, cfg=None):
     """Mean clinical loc/scale and rois loc over ``M`` stochastic
-    reconstruction passes (``workflow.py:385-398``)."""
+    reconstruction passes (``workflow.py:385-398``).
+
+    On the fused-supported flagship config the average is computed in closed
+    form (see :func:`analytic_reconstruction_stats`); otherwise Monte Carlo.
+    """
+    if cfg is not None:
+        from ..ops.fused_step import supports_fused
+        if supports_fused(cfg, model, data):
+            return analytic_reconstruction_stats(model, params, data)
 
     def one(key):
         out = model.apply({"params": params}, data, sample_latents=True,
@@ -83,7 +112,7 @@ def reconstruction_stats(model, params, data, M: int, rng,
 
 
 def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
-                 rng, chunk: int = 16):
+                 rng, chunk: int = 16, cfg=None):
     """Decode ROI avatars for every (sample, score) perturbation.
 
     ``scores_values``: ``[n_samples, B, n_scores]`` artificial values (the
@@ -95,6 +124,14 @@ def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
     ``B``-row batch, so mixture-selection partitioning is identical to the
     reference's per-call ``model(modified_data)``.
     """
+    if cfg is not None:
+        from ..ops.fused_step import supports_fused
+        if supports_fused(cfg, model, data):
+            from ..ops.fused_daa import fused_avatar_sweep
+            interpret = jax.default_backend() == "cpu"
+            return fused_avatar_sweep(model, params, data, scores_values,
+                                      sample_latents, rng, cfg,
+                                      interpret=interpret)
     n_samples, b, n_scores = scores_values.shape
     clinical = data["clinical"]
     eye = jnp.eye(n_scores, dtype=clinical.dtype)
@@ -217,7 +254,7 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
             key = jax.random.fold_in(base_key, 1000 * model_idx + val_idx)
             k_rec, k_sample, k_sweep = jax.random.split(key, 3)
             loc_hat, scale_hat, rois_reconstruction = reconstruction_stats(
-                model, params, data, M, k_rec, chunk=chunk)
+                model, params, data, M, k_rec, chunk=chunk, cfg=cfg)
             rois_recs.append(np.asarray(rois_reconstruction))
 
             if sampling_strategy == "likelihood":
@@ -230,7 +267,8 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                     jnp.asarray(scores_grid, dtype=jnp.float32), (2, 0, 1))
 
             avatars = avatar_sweep(model, params, data, scores_values,
-                                   sample_latents, k_sweep, chunk=chunk)
+                                   sample_latents, k_sweep, chunk=chunk,
+                                   cfg=cfg)
             if n_models == 1:
                 rois_digital_avatars[val_idx] = np.asarray(avatars)
             else:

@@ -1,0 +1,156 @@
+"""Fused Pallas kernels for the DAA hot loops (forward-only).
+
+Reference loops: ``workflow.py:388-419`` — per validation round, ``M``
+stochastic reconstruction passes (mean clinical loc/scale + rois loc) and an
+``n_samples x n_scores`` avatar decode sweep, each a full model call. Here
+both become ONE Pallas launch each, with model params resident in VMEM and a
+grid over passes/cells:
+
+* the ROI-encoder posteriors do not depend on the perturbed clinical column,
+  so they are computed once outside and passed in;
+* per avatar cell only the clinical encoder (2 matmuls), the 3-subset PoE
+  fusion, mixture selection, reparameterization and the ROI decoder
+  (2 matmuls) execute.
+
+Supported under the same configuration as :mod:`multivae_tpu.ops.fused_step`
+(MoPoE flagship). Deterministic (``sample_latents=False``) outputs are tested
+to match the general path exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_step import (
+    POE_EPS,
+    FusedConsts,
+    FusedDims,
+    _mixture_bounds,
+    dims_from,
+    flatten_params,
+    split_params,
+    supports_fused,
+)
+
+ENC_NAMES = ("Wh", "bh", "Wcmu", "bcmu", "Wclv", "bclv",
+             "Wsmu", "bsmu", "Wslv", "bslv")
+DEC_NAMES = ("Wds", "Wdc", "bd", "olv")
+
+
+def _avatar_kernel(dims: FusedDims, sample_latents: bool, *refs):
+    """Grid over (sample, score) cells; decode ROI means per cell."""
+    # inputs: cdata [1,B,d1] stream, eps [1,B,cd+s2] stream,
+    #         enc1 params (10), dec2 params (4), rois posteriors
+    #         (cmu2, clv2, smu2, slv2) whole
+    # outputs: avatars [1,B,d2] stream
+    (cdata_ref, eps_ref) = refs[:2]
+    e1 = {n: refs[2 + i] for i, n in enumerate(ENC_NAMES)}
+    d2p = {n: refs[2 + 10 + i] for i, n in enumerate(DEC_NAMES)}
+    cmu2_ref, clv2_ref, smu2_ref, slv2_ref = refs[16:20]
+    out_ref = refs[20]
+
+    cd, s2 = dims.cd, dims.s2
+    k1, k2 = _mixture_bounds(dims.b)
+
+    def dot(a, bb):
+        return jnp.dot(a, bb, preferred_element_type=jnp.float32)
+
+    x1 = cdata_ref[0]
+    h1 = jnp.maximum(dot(x1, e1["Wh"][:]) + e1["bh"][:][None, :], 0.0)
+    cmu1 = dot(h1, e1["Wcmu"][:]) + e1["bcmu"][:][None, :]
+    clv1 = dot(h1, e1["Wclv"][:]) + e1["bclv"][:][None, :]
+
+    cmu2 = cmu2_ref[:]
+    clv2 = clv2_ref[:]
+    t1 = 1.0 / (jnp.exp(clv1) + POE_EPS)
+    t2 = 1.0 / (jnp.exp(clv2) + POE_EPS)
+    tp = 1.0 / (1.0 + POE_EPS)
+    ts = t1 + t2 + tp
+    mu_c = (cmu1 * t1 + cmu2 * t2) / ts
+
+    smu2 = smu2_ref[:]
+    if sample_latents:
+        # joint via deterministic mixture selection (inference sample=True)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (dims.b, 1), 0)
+        m_a = (rows < k1).astype(jnp.float32)
+        m_b = jnp.logical_and(rows >= k1, rows < k2).astype(jnp.float32)
+        m_c = (rows >= k2).astype(jnp.float32)
+        joint_mu = m_a * cmu1 + m_b * cmu2 + m_c * mu_c
+        lv_a = jnp.log(jnp.exp(clv1) + POE_EPS)
+        lv_b = jnp.log(jnp.exp(clv2) + POE_EPS)
+        lv_c = -jnp.log(ts)
+        joint_lv = m_a * lv_a + m_b * lv_b + m_c * lv_c
+        eps = eps_ref[0]
+        zc = joint_mu + eps[:, :cd] * jnp.exp(0.5 * joint_lv)
+        zs2 = smu2 + eps[:, cd:] * jnp.exp(0.5 * slv2_ref[:])
+    else:
+        # inference sample=False: joint is the MEAN over the subset mixture
+        # (BaseMMVae.py:227-229), styles at their means
+        zc = (cmu1 + cmu2 + mu_c) / 3.0
+        zs2 = smu2
+
+    loc = dot(zs2, d2p["Wds"][:]) + dot(zc, d2p["Wdc"][:]) \
+        + d2p["bd"][:][None, :]
+    out_ref[0] = loc
+
+
+def fused_avatar_sweep(model, params, data, scores_values,
+                       sample_latents: bool, rng, cfg,
+                       interpret: bool = False):
+    """Pallas-gridded avatar sweep; drop-in result layout for
+    :func:`multivae_tpu.analysis.daa.avatar_sweep`:
+    ``[B, n_scores, n_samples, n_rois]``."""
+    names = [m.name for m in model.modalities]
+    clinical = jnp.asarray(data[names[0]])
+    rois = jnp.asarray(data[names[1]])
+    scores_values = jnp.asarray(scores_values)
+    n_samples, b, n_scores = scores_values.shape
+    dims = dims_from(cfg, b)
+    sp = split_params(flatten_params(params, model), dims)
+
+    # modified clinical for every (sample, score) cell: tiny, built in XLA
+    eye = jnp.eye(n_scores, dtype=clinical.dtype)           # [S, C]
+    # cdata[p, s, b, c] = clinical[b, c]*(1-eye[s,c]) + scores[p,b,s]*eye[s,c]
+    cdata = (clinical[None, None] * (1.0 - eye)[None, :, None, :]
+             + scores_values.transpose(0, 2, 1)[:, :, :, None]
+             * eye[None, :, None, :])
+    n_cells = n_samples * n_scores
+    cdata = cdata.reshape(n_cells, b, dims.d1)
+
+    # rois posteriors are cell-invariant: encode once in XLA
+    enc = model.apply({"params": params},
+                      {names[1]: rois}, method="encode")
+    cmu2, clv2 = enc[names[1]]
+    smu2, slv2 = enc[names[1] + "_style"]
+
+    eps = jax.random.normal(rng, (n_cells, b, dims.cd + dims.s2),
+                            jnp.float32)
+
+    e1 = [sp[f"enc1_{n}"] for n in ENC_NAMES]
+    d2p = [sp[f"dec2_{n}"] for n in DEC_NAMES]
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    stream_in = lambda d: pl.BlockSpec((1, b, d), lambda i: (i, 0, 0))
+
+    kernel = partial(_avatar_kernel, dims, sample_latents)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        out_shape=jax.ShapeDtypeStruct((n_cells, b, dims.d2), jnp.float32),
+        in_specs=([stream_in(dims.d1), stream_in(dims.cd + dims.s2)]
+                  + [whole] * (10 + 4 + 4)),
+        out_specs=stream_in(dims.d2),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(cdata, eps, *e1, *d2p, cmu2, clv2, smu2, slv2)
+    # [n_cells, B, R] = [n_samples*n_scores, B, R]
+    out = out.reshape(n_samples, n_scores, b, dims.d2)
+    return jnp.transpose(out, (2, 1, 0, 3))

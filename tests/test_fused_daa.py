@@ -1,0 +1,109 @@
+"""Fused DAA kernels: exact deterministic equality with the general path,
+statistical equality for sampled latents, analytic M-averaging."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multivae_tpu.analysis.daa import (
+    analytic_reconstruction_stats,
+    avatar_sweep,
+    reconstruction_stats,
+)
+from multivae_tpu.models import build_model, make_modalities
+from multivae_tpu.ops.fused_daa import fused_avatar_sweep
+from multivae_tpu.train import Config
+from multivae_tpu.train.train_step import init_train_state
+
+B = 30
+RNG = np.random.default_rng(4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(method="joint_elbo", input_dim=[5, 24], class_dim=6,
+                 style_dim=[2, 4], hidden_dim=32,
+                 num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
+                 learn_output_scale=True).derive()
+    model = build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
+                                             cfg.likelihood))
+    data = {
+        "clinical": jnp.asarray(RNG.normal(size=(B, 5)).astype(np.float32)),
+        "rois": jnp.asarray(RNG.normal(size=(B, 24)).astype(np.float32)),
+    }
+    params, _ = init_train_state(cfg, model, data)
+    scores = jnp.asarray(RNG.normal(size=(8, B, 5)).astype(np.float32))
+    return cfg, model, params, data, scores
+
+
+class TestFusedAvatarSweep:
+    def test_deterministic_matches_general_exactly(self, setup):
+        cfg, model, params, data, scores = setup
+        general = avatar_sweep(model, params, data, scores,
+                               sample_latents=False,
+                               rng=jax.random.PRNGKey(0))
+        fused = fused_avatar_sweep(model, params, data, scores,
+                                   sample_latents=False,
+                                   rng=jax.random.PRNGKey(0), cfg=cfg,
+                                   interpret=True)
+        assert fused.shape == general.shape == (B, 5, 8, 24)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(general),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_sampled_means_match_statistically(self, setup):
+        cfg, model, params, data, _ = setup
+        # many samples of the SAME perturbation: per-cell means converge to
+        # the deterministic-ish decode so both paths agree in expectation
+        scores = jnp.tile(data["clinical"][None, :, :], (64, 1, 1))
+        general = avatar_sweep(model, params, data, scores,
+                               sample_latents=True,
+                               rng=jax.random.PRNGKey(1))
+        fused = fused_avatar_sweep(model, params, data, scores,
+                                   sample_latents=True,
+                                   rng=jax.random.PRNGKey(2), cfg=cfg,
+                                   interpret=True)
+        gm = np.asarray(general).mean(axis=2)
+        fm = np.asarray(fused).mean(axis=2)
+        resid = np.abs(gm - fm)
+        scale = np.abs(gm).mean() + 1.0
+        assert resid.mean() / scale < 0.1
+
+    def test_dispatch_via_cfg(self, setup):
+        cfg, model, params, data, scores = setup
+        via_dispatch = avatar_sweep(model, params, data, scores,
+                                    sample_latents=False,
+                                    rng=jax.random.PRNGKey(0), cfg=cfg)
+        direct = fused_avatar_sweep(model, params, data, scores,
+                                    sample_latents=False,
+                                    rng=jax.random.PRNGKey(0), cfg=cfg,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(via_dispatch),
+                                   np.asarray(direct), rtol=1e-5)
+
+
+class TestAnalyticReconstruction:
+    def test_matches_monte_carlo_limit(self, setup):
+        cfg, model, params, data, _ = setup
+        c_loc_a, c_scale_a, r_loc_a = analytic_reconstruction_stats(
+            model, params, data)
+        c_loc_m, c_scale_m, r_loc_m = reconstruction_stats(
+            model, params, data, M=512, rng=jax.random.PRNGKey(3))
+        # MC converges to the analytic expectation at O(1/sqrt(M))
+        np.testing.assert_allclose(np.asarray(c_loc_m),
+                                   np.asarray(c_loc_a), atol=0.2)
+        np.testing.assert_allclose(np.asarray(r_loc_m),
+                                   np.asarray(r_loc_a), atol=0.2)
+        # per-feature scale is deterministic for learned-scale decoders
+        np.testing.assert_allclose(np.asarray(c_scale_m),
+                                   np.asarray(c_scale_a), rtol=1e-4)
+
+    def test_cfg_dispatch_uses_analytic(self, setup):
+        cfg, model, params, data, _ = setup
+        got = reconstruction_stats(model, params, data, M=4,
+                                   rng=jax.random.PRNGKey(0), cfg=cfg)
+        want = analytic_reconstruction_stats(model, params, data)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6)
