@@ -31,6 +31,18 @@ def save_checkpoint(ckpt_dir: str, params, opt_state=None,
     return path
 
 
+def save_networks(checkpoints_dir: str, params) -> None:
+    """Per-modality encoder/decoder dumps (``BaseMMVae.save_networks``,
+    ``BaseMMVae.py:315-322``): files ``enc_<mod>`` / ``dec_<mod>`` at the
+    checkpoints root, overwritten at each save."""
+    os.makedirs(checkpoints_dir, exist_ok=True)
+    host = jax.device_get(params)
+    for key, sub in host.items():
+        if key.startswith("enc_") or key.startswith("dec_"):
+            with open(os.path.join(checkpoints_dir, key), "wb") as fh:
+                fh.write(serialization.to_bytes(sub))
+
+
 def restore_checkpoint(path: str, params_template):
     with open(path, "rb") as fh:
         return serialization.from_bytes(params_template, fh.read())

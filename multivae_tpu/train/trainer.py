@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data import MissingModalitySampler, simple_batches
 from ..utils.filehandling import model_checkpoint_dir, model_log_dir
-from .checkpoint import save_checkpoint
+from .checkpoint import save_checkpoint, save_networks
 from .logging import MetricLogger
 from .train_step import make_eval_step, make_train_step
 
@@ -32,7 +32,8 @@ def _to_device(batch: Dict[str, np.ndarray]):
 
 
 def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
-                    rng, log_every: int = 1, fused_scan_fn=None):
+                    rng, log_every: int = 1, fused_scan_fn=None,
+                    step_fn_remainder=None, shard_multiple: int = 1):
     cfg = exp.cfg
     dataset = exp.dataset_train
     sub_indices = None
@@ -75,7 +76,14 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
 
     for iteration, data in enumerate(general_batches):
         rng, sub = jax.random.split(rng)
-        params, opt_state, loss, metrics = step_fn(
+        n_rows = len(next(iter(data.values())))
+        fn = step_fn
+        if (step_fn_remainder is not None
+                and n_rows % shard_multiple != 0):
+            # a sharded batch axis must divide the mesh; remainder batches
+            # take the unsharded step
+            fn = step_fn_remainder
+        params, opt_state, loss, metrics = fn(
             params, opt_state, _to_device(data), sub)
         n_steps += 1
         if logger is not None and iteration % log_every == 0:
@@ -124,10 +132,18 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     """Train every ensemble member (``run_epochs.py:222-256``)."""
     cfg = exp.cfg
     cfg.save(os.path.join(cfg.dir_experiment_run, "flags.json"))
-    step_fn = make_train_step(cfg, exp.model)
+    mesh = None
+    if cfg.data_parallel > 1:
+        # shard the batch over a data mesh (new capability; the fused
+        # single-device kernel is bypassed in this mode)
+        from ..parallel import data_mesh
+        mesh = data_mesh(cfg.data_parallel)
+    step_fn = make_train_step(cfg, exp.model, mesh=mesh)
     eval_fn = make_eval_step(cfg, exp.model)
+    step_fn_remainder = (make_train_step(cfg, exp.model)
+                         if mesh is not None else None)
     fused_scan_fn = None
-    if cfg.fused_training:
+    if cfg.fused_training and mesh is None:
         from ..ops import fused_step as _fs
         example = {m.name: None for m in exp.model.modalities}
         if _fs.supports_fused(cfg, exp.model, example):
@@ -143,14 +159,19 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
         rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
         t0 = time.time()
         for epoch in range(cfg.start_epoch, cfg.end_epoch):
-            rng, n_steps = train_one_epoch(exp, model_idx, step_fn, logger,
-                                           rng, log_every,
-                                           fused_scan_fn=fused_scan_fn)
+            rng, n_steps = train_one_epoch(
+                exp, model_idx, step_fn, logger, rng, log_every,
+                fused_scan_fn=fused_scan_fn,
+                step_fn_remainder=step_fn_remainder,
+                shard_multiple=cfg.data_parallel)
             rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng, epoch)
             if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
                 ckpt_dir = model_checkpoint_dir(cfg, model_idx, epoch)
                 save_checkpoint(ckpt_dir, exp.params[model_idx],
                                 exp.opt_states[model_idx], cfg.model_save)
+                save_networks(os.path.dirname(ckpt_dir)
+                              if cfg.num_models > 1 else cfg.dir_checkpoints,
+                              exp.params[model_idx])
             if progress:
                 frac = (epoch + 1 - cfg.start_epoch) / max(
                     cfg.end_epoch - cfg.start_epoch, 1)

@@ -40,8 +40,11 @@ class TestTrainExp:
         assert os.path.isfile(os.path.join(outdir, "runs.tsv"))
         runs = pd.read_table(os.path.join(outdir, "runs.tsv"))
         assert run in runs["name"].tolist()
-        # checkpoints at epoch 5 and final (6 epochs -> dirs 0004, 0005)
-        ckpts = sorted(os.listdir(os.path.join(rundir, "checkpoints")))
+        # checkpoints at epoch 5 and final (6 epochs -> dirs 0004, 0005);
+        # per-modality enc_/dec_ dumps also live at the checkpoints root
+        ckpts = sorted(d for d in os.listdir(
+            os.path.join(rundir, "checkpoints"))
+            if os.path.isdir(os.path.join(rundir, "checkpoints", d)))
         assert ckpts == ["0004", "0005"]
         assert os.path.isfile(
             os.path.join(rundir, "checkpoints", "0005", "model"))
@@ -105,3 +108,37 @@ class TestEnsembleTraining:
             os.path.join(rundir, "checkpoints"))
         assert cfg.num_models == 2
         assert len(exp.params) == 2
+
+
+class TestParallelTraining:
+    def test_data_parallel_training(self, tmp_path):
+        """cfg.data_parallel shards batches over the virtual CPU mesh."""
+        import jax
+        from multivae_tpu.train.config import Config
+        from multivae_tpu.train.trainer import run_epochs
+        from multivae_tpu.utils.filehandling import create_dir_structure
+
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=80, n_scores=4,
+                              n_rois=16, missing_rate=0.0, seed=13)
+        cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                     dir_experiment=outdir, input_dim=[4, 16], class_dim=4,
+                     style_dim=[2, 2], end_epoch=3, batch_size=32,
+                     method="joint_elbo", data_parallel=4,
+                     allow_missing_blocks=False).derive()
+        create_dir_structure(cfg)
+        exp = MultimodalExperiment(cfg)
+        exp.set_optimizers()
+        run_epochs(exp, use_tensorboard=False, progress=False)
+        df = pd.read_csv(os.path.join(cfg.dir_logs, "metrics.csv"))
+        losses = df[(df.phase == "train") & (df.metric == "loss")]["value"]
+        assert np.isfinite(losses).all()
+        assert losses.iloc[-1] < losses.iloc[0]
+
+    def test_save_networks_files(self, trained_run):
+        _, outdir, run = trained_run
+        ckpt = os.path.join(outdir, run, "checkpoints")
+        for f in ("enc_clinical", "enc_rois", "dec_clinical", "dec_rois"):
+            assert os.path.isfile(os.path.join(ckpt, f)), f
