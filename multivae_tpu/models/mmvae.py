@@ -167,8 +167,9 @@ class MultimodalVAE(nn.Module):
         subset_stack = (sub_mus, sub_logvars)
         sel = [i for i, k in enumerate(keys)
                if self._fusion_condition(self.subsets[k], present)]
-        mus = sub_mus[np.asarray(sel)]
-        logvars = sub_logvars[np.asarray(sel)]
+        # static integer stacking (no gather; Mosaic-compatible)
+        mus = jnp.stack([sub_mus[i] for i in sel])
+        logvars = jnp.stack([sub_logvars[i] for i in sel])
         if self.method == "jsd":
             # append the unit expert to the mixture (BaseMMVae.py:217-223)
             zero = jnp.zeros_like(mus[:1])
@@ -211,10 +212,25 @@ class MultimodalVAE(nn.Module):
                 "dyn_prior": None}
 
     # ---------------------------------------------------------------- forward
+    def noise_width(self, present) -> int:
+        """Width of the fused normal draw for a presence pattern."""
+        total = self.class_dim
+        for mod in self.modalities:
+            if (mod.name in present and self.factorized_representation
+                    and mod.style_dim > 0):
+                total += mod.style_dim
+        return total
+
     def __call__(self, batch: Dict[str, jnp.ndarray], *,
                  sample_latents: bool = True,
-                 use_expert: Optional[str] = None, train: bool = False):
-        """Full forward pass (``BaseMMVae.forward``, ``:137-165``)."""
+                 use_expert: Optional[str] = None, train: bool = False,
+                 noise: Optional[jnp.ndarray] = None):
+        """Full forward pass (``BaseMMVae.forward``, ``:137-165``).
+
+        ``noise`` optionally supplies the fused reparameterization draw
+        (``[B, noise_width(batch)]``) explicitly — used by kernels that
+        cannot host an RNG stream; otherwise drawn from the ``sample`` rng.
+        """
         latents = self.inference(batch, sample=sample_latents,
                                  use_expert=use_expert, train=train)
         joint_mu, joint_logvar = latents["joint"]
@@ -224,13 +240,12 @@ class MultimodalVAE(nn.Module):
         eps = None
         if sample_latents:
             b = joint_mu.shape[0]
-            style_widths = {
-                mod.name: mod.style_dim for mod in self.modalities
-                if (mod.name in batch and self.factorized_representation
-                    and mod.style_dim > 0)}
-            total = self.class_dim + sum(style_widths.values())
-            eps = jax.random.normal(self.make_rng("sample"), (b, total),
-                                    joint_mu.dtype)
+            total = self.noise_width(batch)
+            if noise is not None:
+                eps = noise
+            else:
+                eps = jax.random.normal(self.make_rng("sample"), (b, total),
+                                        joint_mu.dtype)
             class_z = joint_mu + eps[:, :self.class_dim] * jnp.exp(
                 0.5 * joint_logvar)
         else:

@@ -65,13 +65,33 @@ def masked_poe_all_subsets(mus, logvars, subset_mask, prior_expert,
     Missing modalities are handled upstream by zeroing their mask column,
     which is exactly "infinite variance expert" semantics.
     """
-    subset_mask = jnp.asarray(subset_mask, dtype=mus.dtype)
-    prior_expert = jnp.asarray(prior_expert, dtype=mus.dtype)
     t = 1.0 / (jnp.exp(logvars) + eps)  # [M, B, D]
     prior_t = 1.0 / (1.0 + eps)  # unit expert: var = exp(0) + eps
-    t_sum = jnp.einsum("sm,mbd->sbd", subset_mask, t)
-    t_sum = t_sum + prior_expert[:, None, None] * prior_t
-    mu_sum = jnp.einsum("sm,mbd->sbd", subset_mask, mus * t)
+    mu_t = mus * t
+    if isinstance(subset_mask, np.ndarray) and subset_mask.shape[0] <= 16:
+        # static mask: unroll the tiny (S x M) contraction into adds — same
+        # XLA fusion, and it avoids a 3-D einsum Mosaic cannot lower
+        rows_t, rows_mu = [], []
+        prior_np = np.asarray(prior_expert)
+        for s_row in range(subset_mask.shape[0]):
+            terms_t = [t[m] for m in range(subset_mask.shape[1])
+                       if subset_mask[s_row, m]]
+            terms_mu = [mu_t[m] for m in range(subset_mask.shape[1])
+                        if subset_mask[s_row, m]]
+            ts = sum(terms_t[1:], terms_t[0])
+            ms = sum(terms_mu[1:], terms_mu[0])
+            if prior_np[s_row]:
+                ts = ts + prior_t
+            rows_t.append(ts)
+            rows_mu.append(ms)
+        t_sum = jnp.stack(rows_t)
+        mu_sum = jnp.stack(rows_mu)
+    else:
+        subset_mask = jnp.asarray(subset_mask, dtype=mus.dtype)
+        prior_expert_j = jnp.asarray(prior_expert, dtype=mus.dtype)
+        t_sum = jnp.einsum("sm,mbd->sbd", subset_mask, t)
+        t_sum = t_sum + prior_expert_j[:, None, None] * prior_t
+        mu_sum = jnp.einsum("sm,mbd->sbd", subset_mask, mu_t)
     pd_mu = mu_sum / t_sum
     pd_logvar = -jnp.log(t_sum)
     return pd_mu, pd_logvar
@@ -119,9 +139,11 @@ def mixture_component_selection(mus, logvars, weights=None):
     """
     k, b, _ = mus.shape
     owner = mixture_partition(k, b, weights)
-    owner = jnp.asarray(owner)
-    rows = jnp.arange(b)
-    return mus[owner, rows], logvars[owner, rows]
+    # one-hot masked sum instead of a 3-D gather: identical result, and it
+    # lowers everywhere (Mosaic supports only 2-D gathers)
+    onehot = jnp.asarray(np.eye(k, dtype=np.float32)[owner].T)  # [K, B]
+    sel = onehot[:, :, None]
+    return jnp.sum(sel * mus, axis=0), jnp.sum(sel * logvars, axis=0)
 
 
 def group_divergence_moe(mus, logvars, weights, normalization=None):

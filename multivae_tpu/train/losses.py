@@ -88,9 +88,13 @@ def _weighted_style_kld(model, cfg, klds_style) -> jnp.ndarray:
 
 
 def total_loss(cfg, model, variables, batch, results, rng, *,
-               train: bool = False):
+               train: bool = False, noise_uni=None):
     """Method-dispatched total loss (``basic_routine_epoch``,
-    ``run_epochs.py:73-135``). Returns ``(loss, metrics)``."""
+    ``run_epochs.py:73-135``). Returns ``(loss, metrics)``.
+
+    ``noise_uni`` optionally supplies explicit reparameterization draws for
+    the poe unimodal re-runs (``{mod: [B, width]}``) so the whole loss stays
+    RNG-free — required inside Pallas kernels."""
     log_probs, weighted_log_prob = calc_log_probs(model, batch,
                                                   results["rec"])
     group_divergence = results["joint_divergence"]
@@ -122,11 +126,16 @@ def total_loss(cfg, model, variables, batch, results, rng, *,
             if cfg.poe_unimodal_elbos:
                 # unimodal re-run on the single-modality batch
                 # (run_epochs.py:115-125)
-                rng, sub = jax.random.split(rng)
                 uni_batch = {mod.name: batch[mod.name]}
-                r_mod = model.apply(
-                    variables, uni_batch, train=train,
-                    rngs={"sample": sub, "dropout": jax.random.fold_in(sub, 1)})
+                if noise_uni is not None:
+                    r_mod = model.apply(variables, uni_batch, train=train,
+                                        noise=noise_uni[mod.name])
+                else:
+                    rng, sub = jax.random.split(rng)
+                    r_mod = model.apply(
+                        variables, uni_batch, train=train,
+                        rngs={"sample": sub,
+                              "dropout": jax.random.fold_in(sub, 1)})
                 loc, scale = r_mod["rec"][mod.name]
                 b = batch[mod.name].shape[0]
                 rec_mod = -ops.calc_log_prob(

@@ -144,13 +144,19 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                          if mesh is not None else None)
     fused_scan_fn = None
     if cfg.fused_training and mesh is None:
+        from ..ops import fused_generic as _fg
         from ..ops import fused_step as _fs
         example = {m.name: None for m in exp.model.modalities}
+        interpret = jax.default_backend() == "cpu"
         if _fs.supports_fused(cfg, exp.model, example):
+            # hand-derived flagship kernel (fastest)
             from .train_step import make_optimizer
-            interpret = jax.default_backend() == "cpu"
             fused_scan_fn = _fs.make_fused_scan_train_step(
                 cfg, exp.model, make_optimizer(cfg), interpret=interpret)
+        elif _fg.supports_generic_fused(cfg, exp.model, example):
+            # autodiff-in-Pallas epoch kernel (any method/architecture)
+            fused_scan_fn = _fg.make_generic_fused_epoch(
+                cfg, exp.model, interpret=interpret)
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),
