@@ -21,6 +21,9 @@ def _add_args_from_signature(parser: argparse.ArgumentParser,
     sig = inspect.signature(fn)
     for name, param in sig.parameters.items():
         flag = "--" + name.replace("_", "-")
+        aliases = []
+        if flag.lower() != flag:
+            aliases.append(flag.lower())  # e.g. --M also accepts --m
         default = param.default
         required = default is inspect.Parameter.empty
         kw: Dict = {"required": required}
@@ -45,7 +48,9 @@ def _add_args_from_signature(parser: argparse.ArgumentParser,
         if name in ("input_dims", "style_dim"):
             kw["nargs"] = "+"
             kw["type"] = int
-        parser.add_argument(flag, **kw)
+        if aliases:
+            kw["dest"] = name
+        parser.add_argument(flag, *aliases, **kw)
 
 
 def _commands() -> Dict[str, Callable]:
@@ -53,6 +58,7 @@ def _commands() -> Dict[str, Callable]:
     from .analysis import avatars as av
     cmds = {
         "train": wf.train_exp,
+        "resume": wf.resume_exp,
         "daa": wf.daa_exp,
         "anova": wf.anova_exp,
         "daa-plot-most-connected": wf.daa_plot_most_connected,

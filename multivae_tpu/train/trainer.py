@@ -127,10 +127,43 @@ def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
     return rng
 
 
-def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
-               progress: bool = True):
-    """Train every ensemble member (``run_epochs.py:222-256``)."""
+def resume_from_checkpoints(exp) -> int:
+    """Restore params (and optimizer state when present) from the latest
+    checkpoints; returns the epoch to resume from.
+
+    The reference's restart story is ``--start_epoch``/``--load_saved``
+    (``utils/BaseFlags.py:12,20``) plus latest-checkpoint discovery; here the
+    optimizer state is restored too, so resume is exact.
+    """
+    from .checkpoint import find_checkpoint, restore_checkpoint, \
+        restore_opt_state
+
     cfg = exp.cfg
+    latest = 0
+    for model_idx in range(cfg.num_models):
+        path, epoch = find_checkpoint(cfg.dir_checkpoints, model_idx,
+                                      cfg.num_models, None, cfg.model_save)
+        exp.params[model_idx] = restore_checkpoint(
+            path, exp.params[model_idx])
+        restored = restore_opt_state(os.path.dirname(path),
+                                     exp.opt_states[model_idx])
+        if restored is not None:
+            exp.opt_states[model_idx] = restored
+        latest = max(latest, epoch + 1)
+    cfg.start_epoch = latest
+    return latest
+
+
+def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
+               progress: bool = True, profile_dir: str | None = None):
+    """Train every ensemble member (``run_epochs.py:222-256``).
+
+    ``profile_dir`` captures a ``jax.profiler`` trace of the first trained
+    epoch (the reference has no tracing at all; SURVEY §5).
+    """
+    cfg = exp.cfg
+    if cfg.load_saved:
+        resume_from_checkpoints(exp)
     cfg.save(os.path.join(cfg.dir_experiment_run, "flags.json"))
     mesh = None
     if cfg.data_parallel > 1:
@@ -165,12 +198,18 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
         rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
         t0 = time.time()
         for epoch in range(cfg.start_epoch, cfg.end_epoch):
+            if (profile_dir is not None and model_idx == 0
+                    and epoch == cfg.start_epoch):
+                jax.profiler.start_trace(profile_dir)
             rng, n_steps = train_one_epoch(
                 exp, model_idx, step_fn, logger, rng, log_every,
                 fused_scan_fn=fused_scan_fn,
                 step_fn_remainder=step_fn_remainder,
                 shard_multiple=cfg.data_parallel)
             rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng, epoch)
+            if (profile_dir is not None and model_idx == 0
+                    and epoch == cfg.start_epoch):
+                jax.profiler.stop_trace()
             if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
                 ckpt_dir = model_checkpoint_dir(cfg, model_idx, epoch)
                 save_checkpoint(ckpt_dir, exp.params[model_idx],

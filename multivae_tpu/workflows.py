@@ -87,6 +87,35 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     return cfg.str_experiment
 
 
+def resume_exp(dataset, datasetdir, outdir, run, num_epochs,
+               use_tensorboard=True, log_every=1):
+    """Resume training an existing run up to ``num_epochs`` total epochs.
+
+    Exact resume (params + Adam state) from the latest checkpoint — a new
+    capability; the reference only exposes ``--start_epoch``/``--load_saved``
+    flags without optimizer-state recovery.
+    """
+    expdir = os.path.join(outdir, run)
+    flags_file = os.path.join(expdir, "flags.json")
+    if not os.path.isfile(flags_file):
+        raise ValueError("You need first to train the model.")
+    cfg = Config.load(flags_file)
+    cfg.datasetdir = datasetdir
+    cfg.dir_experiment = outdir
+    cfg.dir_experiment_run = expdir
+    cfg.str_experiment = run
+    cfg.dir_checkpoints = os.path.join(expdir, "checkpoints")
+    cfg.dir_logs = os.path.join(expdir, "logs")
+    cfg.end_epoch = num_epochs
+    cfg.load_saved = True
+    print_title(f"RESUME: {run} -> {num_epochs} epochs")
+    exp = MultimodalExperiment(cfg)
+    exp.set_optimizers()
+    run_epochs(exp, use_tensorboard=use_tensorboard, log_every=log_every)
+    print_result(f"resumed run: {run}")
+    return run
+
+
 def _load_trained(outdir: str, run: str):
     expdir = os.path.join(outdir, run)
     flags_file = os.path.join(expdir, "flags.json")

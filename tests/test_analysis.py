@@ -160,7 +160,7 @@ class TestCli:
         from multivae_tpu.cli import _commands
         cmds = _commands()
         assert set(cmds) == {
-            "train", "daa", "anova", "daa-plot-most-connected",
+            "train", "resume", "daa", "anova", "daa-plot-most-connected",
             "daa-plot-score-metric", "rsa", "rsa-plot", "hist-plot",
             "avatar-plot", "daa-analysis", "daa-robustness",
             "univariate-tests"}

@@ -142,3 +142,23 @@ class TestParallelTraining:
         ckpt = os.path.join(outdir, run, "checkpoints")
         for f in ("enc_clinical", "enc_rois", "dec_clinical", "dec_rois"):
             assert os.path.isfile(os.path.join(ckpt, f)), f
+
+
+class TestResume:
+    def test_resume_continues_run(self, trained_run):
+        from multivae_tpu.workflows import resume_exp
+        datasetdir, outdir, run = trained_run
+        rundir = os.path.join(outdir, run)
+        before = sorted(d for d in os.listdir(
+            os.path.join(rundir, "checkpoints"))
+            if os.path.isdir(os.path.join(rundir, "checkpoints", d)))
+        resume_exp("synthetic", datasetdir, outdir, run, num_epochs=10,
+                   use_tensorboard=False)
+        after = sorted(d for d in os.listdir(
+            os.path.join(rundir, "checkpoints"))
+            if os.path.isdir(os.path.join(rundir, "checkpoints", d)))
+        # original run ended at epoch 6 (dirs 0004, 0005); resume adds 0009
+        assert "0009" in after and len(after) > len(before)
+        cfg = Config.load(os.path.join(rundir, "flags.json"))
+        assert cfg.end_epoch == 10
+        assert cfg.start_epoch == 6
