@@ -159,6 +159,55 @@ def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
     return jnp.transpose(rois, (2, 1, 0, 3))
 
 
+def avatar_sweep_sharded(model, params, data, scores_values,
+                         sample_latents: bool, rng, mesh):
+    """Multi-device avatar sweep: the (sample, score) cell grid shards over
+    the mesh's ``data`` axis (SURVEY §2.6 — the DAA grid is this workload's
+    long axis; there are no sequences to parallelize).
+
+    Each device decodes its slice of perturbation cells with replicated
+    params; results gather back to the host layout
+    ``[B, n_scores, n_samples, n_rois]``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_samples, b, n_scores = scores_values.shape
+    n_dev = mesh.shape["data"]
+    n_cells = n_samples * n_scores
+    pad = (-n_cells) % n_dev
+    clinical = jnp.asarray(data["clinical"])
+    rois = jnp.asarray(data["rois"])
+    scores_values = jnp.asarray(scores_values)
+
+    # build the modified-clinical grid [n_cells(+pad), B, d1] on host-side XLA
+    eye = jnp.eye(n_scores, dtype=clinical.dtype)
+    cdata = (clinical[None, None] * (1.0 - eye)[None, :, None, :]
+             + scores_values.transpose(0, 2, 1)[:, :, :, None]
+             * eye[None, :, None, :])
+    cdata = cdata.reshape(n_cells, b, -1)
+    if pad:
+        cdata = jnp.concatenate([cdata, cdata[:pad]], axis=0)
+    keys = jax.random.split(rng, n_cells + pad)
+
+    cell_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def one(cell_clinical, key):
+        out = model.apply({"params": params},
+                          {"clinical": cell_clinical, "rois": rois},
+                          sample_latents=sample_latents,
+                          rngs={"sample": key})
+        return out["rec"]["rois"][0]
+
+    sweep = jax.jit(
+        jax.vmap(one),
+        in_shardings=(cell_sharding, cell_sharding),
+        out_shardings=cell_sharding)
+    out = sweep(cdata, keys)[:n_cells]
+    out = out.reshape(n_samples, n_scores, b, -1)
+    return jnp.transpose(out, (2, 1, 0, 3))
+
+
 def sample_artificial_scores(strategy: str, clinical_values: np.ndarray,
                              n_samples: int, n_subjects: int,
                              rng: np.random.Generator):

@@ -107,3 +107,35 @@ class TestAnalyticReconstruction:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-6)
+
+
+class TestShardedSweep:
+    def test_matches_general_on_mesh(self, setup):
+        """The device-sharded cell grid must reproduce the sequential sweep
+        (deterministic path) on the 8-device CPU mesh."""
+        from multivae_tpu.analysis.daa import avatar_sweep_sharded
+        from multivae_tpu.parallel import data_mesh
+        cfg, model, params, data, scores = setup
+        mesh = data_mesh(8)
+        general = avatar_sweep(model, params, data, scores,
+                               sample_latents=False,
+                               rng=jax.random.PRNGKey(0))
+        sharded = avatar_sweep_sharded(model, params, data, scores,
+                                       sample_latents=False,
+                                       rng=jax.random.PRNGKey(0), mesh=mesh)
+        np.testing.assert_allclose(np.asarray(sharded),
+                                   np.asarray(general), rtol=2e-4,
+                                   atol=1e-5)
+
+    def test_nondivisible_cell_count(self, setup):
+        from multivae_tpu.analysis.daa import avatar_sweep_sharded
+        from multivae_tpu.parallel import data_mesh
+        cfg, model, params, data, _ = setup
+        mesh = data_mesh(8)
+        scores = jnp.asarray(np.random.default_rng(0).normal(
+            size=(3, 30, 5)).astype(np.float32))  # 15 cells, pad to 16
+        out = avatar_sweep_sharded(model, params, data, scores,
+                                   sample_latents=False,
+                                   rng=jax.random.PRNGKey(0), mesh=mesh)
+        assert out.shape == (30, 5, 3, 24)
+        assert np.isfinite(np.asarray(out)).all()
