@@ -29,7 +29,13 @@ def _add_args_from_signature(parser: argparse.ArgumentParser,
         kw: Dict = {"required": required}
         if not required:
             kw["default"] = default
-        if isinstance(default, bool):
+        # PEP 563 (from __future__ import annotations) stringizes
+        # annotations, so accept both forms
+        ann = {int: int, float: float, str: str,
+               "int": int, "float": float, "str": str}.get(param.annotation)
+        if ann is not None:
+            kw["type"] = ann
+        elif isinstance(default, bool):
             kw["type"] = lambda v: str(v).lower() in ("1", "true", "yes")
         elif isinstance(default, int):
             kw["type"] = int

@@ -87,7 +87,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     return cfg.str_experiment
 
 
-def resume_exp(dataset, datasetdir, outdir, run, num_epochs,
+def resume_exp(dataset, datasetdir, outdir, run, num_epochs: int,
                use_tensorboard=True, log_every=1):
     """Resume training an existing run up to ``num_epochs`` total epochs.
 
