@@ -16,7 +16,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 import pandas as pd
 
-from ..constants import get_short_clinical_names
+from ..data.cohorts import get_short_clinical_names
 from ..train.config import Config
 from ..train.experiment import MultimodalExperiment
 from ..utils.colors import print_result, print_text, print_title

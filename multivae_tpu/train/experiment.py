@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from ..constants import get_short_clinical_names
+from ..data.cohorts import get_short_clinical_names
 from ..data import DataManager, Residualizer, StandardScaler
 from ..models import build_model, make_modalities, powerset_subsets
 from .checkpoint import find_checkpoint, restore_checkpoint

@@ -264,7 +264,7 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from .constants import get_short_clinical_names
+    from .data.cohorts import get_short_clinical_names
     from .viz.plotting import plot_areas, plot_radar
 
     print_title(f"PLOT DAA most associated rois: {dataset}")

@@ -236,3 +236,47 @@ class TestDeterminism:
         got = fwd(variables, batch, jax.random.PRNGKey(2))
         np.testing.assert_allclose(got["joint_divergence"],
                                    out["joint_divergence"], rtol=1e-5)
+
+
+class TestThreeModalities:
+    def test_m3_powerset_forward(self):
+        """Three modalities: 7 subsets; joint_elbo mixes all of them."""
+        cfg = Config(method="joint_elbo", input_dim=[4, 8, 6], class_dim=5,
+                     style_dim=[2, 2, 2], hidden_dim=16,
+                     num_hidden_layer_encoder=1,
+                     num_hidden_layer_decoder=0).derive()
+        mods = make_modalities(cfg.input_dim, cfg.style_dim, cfg.likelihood,
+                               names=["a", "b", "c"])
+        model = build_model(cfg, mods)
+        rng = np.random.default_rng(0)
+        batch = {n: jnp.asarray(rng.normal(size=(12, d)).astype(np.float32))
+                 for n, d in zip("abc", cfg.input_dim)}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            batch)
+        out = model.apply(variables, batch,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        assert set(out["latents"]["subsets"]) == {
+            "a", "b", "c", "a_b", "a_c", "b_c", "a_b_c"}
+        assert out["latents"]["mus"].shape[0] == 7
+        assert set(out["rec"]) == {"a", "b", "c"}
+
+    def test_m3_partial_presence(self):
+        cfg = Config(method="joint_elbo", input_dim=[4, 8, 6], class_dim=5,
+                     style_dim=[2, 2, 2], hidden_dim=16,
+                     num_hidden_layer_encoder=1,
+                     num_hidden_layer_decoder=0).derive()
+        mods = make_modalities(cfg.input_dim, cfg.style_dim, cfg.likelihood,
+                               names=["a", "b", "c"])
+        model = build_model(cfg, mods)
+        rng = np.random.default_rng(0)
+        full = {n: jnp.asarray(rng.normal(size=(12, d)).astype(np.float32))
+                for n, d in zip("abc", cfg.input_dim)}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            full)
+        batch = {k: full[k] for k in ("a", "c")}
+        out = model.apply(variables, batch,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        assert set(out["latents"]["subsets"]) == {"a", "c", "a_c"}
+        assert set(out["rec"]) == {"a", "c"}
