@@ -1,5 +1,6 @@
 """Evaluation metrics: IWAE likelihoods, PRD, FID, representation probes."""
 
+from .coherence import calculate_coherence, test_generation, train_modality_classifiers
 from .likelihood import batch_likelihoods, estimate_likelihoods
 from .prd import (
     compute_prd,
@@ -18,6 +19,9 @@ from .sample_quality import (
 
 __all__ = [
     "batch_likelihoods",
+    "calculate_coherence",
+    "test_generation",
+    "train_modality_classifiers",
     "calc_fid_scores",
     "calc_prd_score",
     "calculate_fid_from_embeddings",

@@ -286,6 +286,15 @@ class MultimodalVAE(nn.Module):
                 styles[mod.name] = None
         return styles
 
+    def get_random_style_dists(self, num_samples: int):
+        """Unit-Gaussian default style distributions
+        (``BaseMMVae.py:290-299``)."""
+        styles = {}
+        for mod in self.modalities:
+            styles[mod.name] = (jnp.zeros((num_samples, mod.style_dim)),
+                                jnp.zeros((num_samples, mod.style_dim)))
+        return styles
+
     def generate_sufficient_statistics_from_latents(self, latents):
         """Decode (style, content) latents to output sufficient statistics
         (``BaseMMVae.py:257-264``)."""

@@ -104,6 +104,12 @@ def total_loss(cfg, model, variables, batch, results, rng, *,
         klds_style = calc_klds_style(results)
 
     metrics = {"joint_divergence": group_divergence}
+    # latent mu/logvar means per modality (TBLogger.write_latent_distr,
+    # utils/TBLogger.py:25-36)
+    for key, val in results["latents"]["modalities"].items():
+        if val[0] is not None:
+            metrics[f"latent_mu/{key}"] = jnp.mean(val[0])
+            metrics[f"latent_logvar/{key}"] = jnp.mean(val[1])
     for k, v in log_probs.items():
         metrics[f"log_prob/{k}"] = v
     for k, v in klds.items():

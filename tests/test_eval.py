@@ -192,3 +192,25 @@ class TestTrainingHooks:
         df = pd.read_csv(os.path.join(cfg.dir_logs, "metrics.csv"))
         assert (df["phase"] == "Likelihoods").any()
         assert (df["phase"] == "PRD").any()
+
+
+class TestCoherence:
+    def test_conditional_coherence(self, small_exp):
+        from multivae_tpu.eval.coherence import test_generation
+        coh = test_generation(small_exp)
+        if not coh:
+            pytest.skip("single-class labels in split")
+        assert set(coh) == {"clinical", "rois", "clinical_rois"}
+        for subset, mods in coh.items():
+            for m, acc in mods.items():
+                assert 0.0 <= acc <= 1.0
+
+    def test_joint_coherence_of_random_samples(self, small_exp):
+        import jax
+        from multivae_tpu.eval.coherence import calculate_coherence
+        gen = small_exp.model.apply(
+            {"params": small_exp.params[0]}, 64, method="generate",
+            rngs={"sample": jax.random.PRNGKey(0)})
+        score = calculate_coherence(small_exp,
+                                    {k: np.asarray(v) for k, v in gen.items()})
+        assert np.isnan(score) or 0.0 <= score <= 1.0
