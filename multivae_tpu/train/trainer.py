@@ -70,7 +70,7 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
                                                   stacked, rngs)
         n_steps += len(fused_batches)
         if logger is not None:
-            for i, loss in enumerate(np.asarray(losses)):
+            for i, loss in enumerate(jax.device_get(losses)):
                 if i % log_every == 0:
                     logger.write_training_logs({"loss": loss})
 
@@ -87,8 +87,9 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
             params, opt_state, _to_device(data), sub)
         n_steps += 1
         if logger is not None and iteration % log_every == 0:
-            logger.write_training_logs(
-                {k: np.asarray(v) for k, v in metrics.items()})
+            # one host transfer for the whole metric dict (per-item
+            # np.asarray costs a ~2ms relay round-trip EACH)
+            logger.write_training_logs(jax.device_get(metrics))
     exp.params[model_idx] = params
     exp.opt_states[model_idx] = opt_state
     return rng, n_steps
@@ -110,8 +111,7 @@ def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
         rng, sub = jax.random.split(rng)
         loss, metrics = eval_fn(params, _to_device(data), sub)
         if logger is not None:
-            logger.write_testing_logs(
-                {k: np.asarray(v) for k, v in metrics.items()})
+            logger.write_testing_logs(jax.device_get(metrics))
 
     if ((epoch + 1) % cfg.eval_freq == 0 or (epoch + 1) == cfg.end_epoch):
         if cfg.calc_nll:
