@@ -258,6 +258,11 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
     np_rng = np.random.default_rng(seed)
     base_key = jax.random.PRNGKey(seed if seed is not None else 0)
 
+    # clamp to the available complete test subjects before sizing the memmap
+    testset0 = (experiment.dataset_test if n_models == 1
+                else experiment.dataset_test[0])
+    n_subjects = min(n_subjects, len(complete_indices(testset0)))
+
     da_file = os.path.join(resdir, "rois_digital_avatars.npy")
     shape = (n_models, n_validation, n_subjects, n_scores, n_samples, n_rois)
     if n_models == 1:
@@ -294,8 +299,8 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
         sampled_scores, metadatas, rois_recs = [], [], []
         for val_idx in range(n_validation):
             print_text(f"validation round {val_idx + 1}/{n_validation}")
-            sel = np_rng.choice(test_complete, size=min(
-                n_subjects, len(test_complete)), replace=False)
+            sel = np_rng.choice(test_complete, size=n_subjects,
+                                replace=False)
             data, metadata = full_batch(testset, sel)
             metadata_columns = list(metadata.columns)
             metadatas.append(metadata.to_numpy())
