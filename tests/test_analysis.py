@@ -180,3 +180,57 @@ class TestCli:
         assert rc == 0
         runs = pd.read_table(os.path.join(outdir, "runs.tsv"))
         assert len(runs) == 1
+
+
+class TestDaaVariants:
+    def test_linear_strategy_and_fixed_regression(self, pipeline):
+        datasetdir, outdir, run, _, _ = pipeline
+        resdir = wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
+                            outdir=outdir, run=run,
+                            sampling_strategy="linear", reg_method="fixed",
+                            n_validation=2, n_samples=12, n_subjects=10,
+                            M=4, trust_level=0.5, seed=3, chunk=8)
+        pv = np.load(os.path.join(resdir, "pvalues.npy"))
+        assert pv.shape == (2, N_SCORES, N_ROIS)
+        assert np.all((pv >= 0) & (pv <= 1))
+        # fixed method writes no all_coefs
+        assert not os.path.isfile(os.path.join(resdir, "all_coefs.npy"))
+
+    def test_uniform_strategy(self, pipeline):
+        datasetdir, outdir, run, _, _ = pipeline
+        resdir = wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
+                            outdir=outdir, run=run,
+                            sampling_strategy="uniform",
+                            n_validation=2, n_samples=10, n_subjects=8,
+                            M=4, seed=4, chunk=8)
+        scores = np.load(os.path.join(resdir, "sampled_scores.npy"))
+        assert scores.shape == (2, 8, 10, N_SCORES)
+
+    def test_mixed_regression(self, pipeline):
+        datasetdir, outdir, run, _, _ = pipeline
+        resdir = wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
+                            outdir=outdir, run=run, reg_method="mixed",
+                            n_validation=1, n_samples=10, n_subjects=8,
+                            M=4, seed=5, chunk=8)
+        pv = np.load(os.path.join(resdir, "pvalues.npy"))
+        assert pv.shape == (1, N_SCORES, N_ROIS)
+        assert np.all((pv >= 0) & (pv <= 1))
+
+    def test_bad_strategy_raises(self, pipeline):
+        datasetdir, outdir, run, _, _ = pipeline
+        with pytest.raises(ValueError):
+            wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
+                       outdir=outdir, run=run, sampling_strategy="bogus")
+
+
+class TestEuaimsCohortName:
+    def test_euaims_contract(self, tmp_path):
+        """The euaims cohort name drives the same multiblock contract."""
+        from multivae_tpu.data import DataManager
+        d = str(tmp_path / "data")
+        make_synthetic_cohort(d, n_subjects=80, n_scores=4, n_rois=10,
+                              missing_rate=0.1, seed=31)
+        dm = DataManager("euaims", d, ["clinical", "rois"],
+                         allow_missing_blocks=True, overwrite=True)
+        assert len(dm.train_dataset) > 0
+        assert len(dm.test_dataset) > 0
