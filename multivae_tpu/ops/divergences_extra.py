@@ -11,7 +11,7 @@ parity).
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -19,25 +19,19 @@ to match the general path exactly.
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_step import (
     POE_EPS,
-    FusedConsts,
     FusedDims,
     _mixture_bounds,
     dims_from,
     flatten_params,
     split_params,
-    supports_fused,
 )
 
 ENC_NAMES = ("Wh", "bh", "Wcmu", "bcmu", "Wclv", "bclv",

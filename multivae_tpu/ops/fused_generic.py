@@ -18,12 +18,8 @@ remainder takes the general XLA path, as in the trainer).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

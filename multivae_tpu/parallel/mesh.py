@@ -9,7 +9,7 @@ data axis. XLA inserts the gradient reductions over ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -6,7 +6,6 @@ Command surface mirrors ``experiments/workflow.py`` / ``experiments.py:21-34``.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
