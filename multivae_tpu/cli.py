@@ -12,8 +12,17 @@ from __future__ import annotations
 
 import argparse
 import inspect
+import os
 import sys
 from typing import Callable, Dict, Sequence
+
+# persistent XLA compilation cache: kernels (especially the Pallas epoch
+# kernels) take ~30 s to compile through the remote-compile relay; caching
+# makes repeat CLI invocations start fast. Must be set before jax initializes.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "multivae_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 
 def _add_args_from_signature(parser: argparse.ArgumentParser,
