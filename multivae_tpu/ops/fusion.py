@@ -175,16 +175,16 @@ def alpha_jsd_divergence(mus, logvars, weights, normalization=None):
     """
     weights = jnp.asarray(weights)
     prior_mu, prior_logvar = alpha_poe(weights, mus, logvars)
+    # one stacked per-sample KL against the broadcast prior instead of a
+    # per-component python loop of full-sum KLs (fewer ops; also the loop
+    # form crashed the Mosaic compile helper inside fused kernels)
+    klds_ps = kl_divergence_per_sample(
+        mus, logvars, prior_mu[None], prior_logvar[None])  # [K, B]
     if normalization is not None:
-        klds = jnp.stack([
-            kl_divergence(mus[k], logvars[k], prior_mu, prior_logvar,
-                          norm_value=normalization)
-            for k in range(mus.shape[0])
-        ])
+        klds = jnp.sum(klds_ps, axis=1) / float(normalization)  # [K]
         group_div = jnp.sum(weights * klds)
     else:
-        klds = kl_divergence_per_sample(
-            mus, logvars, prior_mu[None], prior_logvar[None])
+        klds = klds_ps
         group_div = jnp.sum(weights[:, None] * klds, axis=0)
     return group_div, klds, (prior_mu, prior_logvar)
 
