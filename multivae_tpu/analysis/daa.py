@@ -87,14 +87,20 @@ def analytic_reconstruction_stats(model, params, data):
 
 
 def reconstruction_stats(model, params, data, M: int, rng,
-                         chunk: int = 32, cfg=None):
+                         chunk: int = 32, cfg=None,
+                         exact: object = "auto"):
     """Mean clinical loc/scale and rois loc over ``M`` stochastic
     reconstruction passes (``workflow.py:385-398``).
 
     On the fused-supported flagship config the average is computed in closed
     form (see :func:`analytic_reconstruction_stats`); otherwise Monte Carlo.
+    ``exact=False`` forces the Monte-Carlo M-pass path even on fused configs
+    (strict parity with the reference's estimator, which carries MC error at
+    matched M); ``exact=True`` forces the closed form.
     """
-    if cfg is not None:
+    if exact is True:
+        return analytic_reconstruction_stats(model, params, data)
+    if exact != False and cfg is not None:  # noqa: E712  ("auto" path)
         from ..ops.fused_step import supports_fused
         if supports_fused(cfg, model, data):
             return analytic_reconstruction_stats(model, params, data)
@@ -160,14 +166,18 @@ def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
 
 
 def avatar_sweep_sharded(model, params, data, scores_values,
-                         sample_latents: bool, rng, mesh):
+                         sample_latents: bool, rng, mesh, cfg=None):
     """Multi-device avatar sweep: the (sample, score) cell grid shards over
     the mesh's ``data`` axis (SURVEY §2.6 — the DAA grid is this workload's
     long axis; there are no sequences to parallelize).
 
     Each device decodes its slice of perturbation cells with replicated
     params; results gather back to the host layout
-    ``[B, n_scores, n_samples, n_rois]``.
+    ``[B, n_scores, n_samples, n_rois]``. On fused-supported configs the
+    per-device body is the Pallas grid kernel (``shard_map`` over cells),
+    so multi-chip keeps the single-chip kernel's speed per device; the rng
+    stream matches the single-device sweep cell-for-cell, making outputs
+    reproducible across device counts.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -175,35 +185,73 @@ def avatar_sweep_sharded(model, params, data, scores_values,
     n_dev = mesh.shape["data"]
     n_cells = n_samples * n_scores
     pad = (-n_cells) % n_dev
-    clinical = jnp.asarray(data["clinical"])
-    rois = jnp.asarray(data["rois"])
+    names = [m.name for m in model.modalities]
+    clinical = jnp.asarray(data[names[0]])
+    rois = jnp.asarray(data[names[1]])
     scores_values = jnp.asarray(scores_values)
 
-    # build the modified-clinical grid [n_cells(+pad), B, d1] on host-side XLA
-    eye = jnp.eye(n_scores, dtype=clinical.dtype)
-    cdata = (clinical[None, None] * (1.0 - eye)[None, :, None, :]
-             + scores_values.transpose(0, 2, 1)[:, :, :, None]
-             * eye[None, :, None, :])
-    cdata = cdata.reshape(n_cells, b, -1)
+    from ..ops.fused_daa import build_cell_grid
+    cdata = build_cell_grid(clinical, scores_values)
     if pad:
         cdata = jnp.concatenate([cdata, cdata[:pad]], axis=0)
-    keys = jax.random.split(rng, n_cells + pad)
+
+    fused = False
+    if cfg is not None:
+        from ..ops.fused_step import supports_fused
+        fused = supports_fused(cfg, model, data)
 
     cell_sharding = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
+
+    if fused:
+        from ..ops.fused_daa import (
+            dims_from, flatten_params, rois_posteriors, split_params,
+            sweep_cells)
+        interpret = jax.default_backend() == "cpu"
+        dims = dims_from(cfg, b)
+        sp = split_params(flatten_params(params, model), dims)
+        posteriors = rois_posteriors(model, params, rois)
+        # same eps stream as the single-device fused sweep, zero-padded
+        eps = jax.random.normal(rng, (n_cells, b, dims.cd + dims.s2),
+                                jnp.float32)
+        if pad:
+            eps = jnp.concatenate(
+                [eps, jnp.zeros((pad,) + eps.shape[1:], eps.dtype)])
+
+        def shard_body(sp_repl, post_repl, cd, ep):
+            return sweep_cells(sp_repl, post_repl, cd, ep, dims,
+                               sample_latents, interpret=interpret)
+
+        # check_vma off: pallas_call out_shapes carry no vma annotation
+        sweep = jax.jit(jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P("data"), check_vma=False))
+        out = sweep(sp, posteriors,
+                    jax.device_put(cdata, cell_sharding),
+                    jax.device_put(eps, cell_sharding))[:n_cells]
+        out = out.reshape(n_samples, n_scores, b, -1)
+        return jnp.transpose(out, (2, 1, 0, 3))
+
+    # general path: one vmapped model call per cell, cells sharded.
+    # key stream prefix-matches the single-device sweep (split(rng, n_cells));
+    # pad cells reuse leading keys and are dropped after the gather
+    keys = jax.random.split(rng, n_cells)
+    if pad:
+        keys = jnp.concatenate([keys, keys[:pad]], axis=0)
 
     def one(cell_clinical, key):
         out = model.apply({"params": params},
-                          {"clinical": cell_clinical, "rois": rois},
+                          {names[0]: cell_clinical, names[1]: rois},
                           sample_latents=sample_latents,
                           rngs={"sample": key})
-        return out["rec"]["rois"][0]
+        return out["rec"][names[1]][0]
 
     sweep = jax.jit(
         jax.vmap(one),
         in_shardings=(cell_sharding, cell_sharding),
         out_shardings=cell_sharding)
-    out = sweep(cdata, keys)[:n_cells]
+    out = sweep(jax.device_put(cdata, cell_sharding),
+                jax.device_put(keys, cell_sharding))[:n_cells]
     out = out.reshape(n_samples, n_scores, b, -1)
     return jnp.transpose(out, (2, 1, 0, 3))
 
@@ -234,11 +282,32 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
             n_samples: int = 200, n_subjects: int = 50, M: int = 1000,
             trust_level: float = 0.75, seed: Optional[int] = 1037,
             reg_method: str = "hierarchical", sample_latents: bool = True,
-            vote_prop: float = 1.0, chunk: int = 16) -> str:
-    """Full DAA pipeline; returns the result directory."""
+            vote_prop: float = 1.0, chunk: int = 16,
+            use_sharding="auto", exact_reconstruction="auto") -> str:
+    """Full DAA pipeline; returns the result directory.
+
+    ``use_sharding``: shard the avatar perturbation grid over the device
+    mesh (``"auto"`` enables it whenever more than one device is present;
+    the DAA grid is this workload's long axis, SURVEY §2.6).
+    ``exact_reconstruction``: replace the reference's M-pass Monte-Carlo
+    reconstruction average by its closed form on supported configs
+    (``"auto"``/True) or force the MC estimator for strict parity
+    (``False``)."""
     if sampling_strategy not in SAMPLING_STRATEGIES:
         raise ValueError("sampling_strategy must be either linear, uniform"
                          "gaussian or likelihood")
+    if isinstance(use_sharding, str):
+        use_sharding = (len(jax.devices()) > 1 if use_sharding == "auto"
+                        else use_sharding.lower() in ("true", "1", "yes"))
+    if isinstance(exact_reconstruction, str) \
+            and exact_reconstruction != "auto":
+        exact_reconstruction = exact_reconstruction.lower() in (
+            "true", "1", "yes")
+    mesh = None
+    if use_sharding and len(jax.devices()) > 1:
+        from ..parallel import data_mesh
+        mesh = data_mesh(len(jax.devices()))
+        print_text(f"avatar grid sharded over {len(jax.devices())} devices")
     n_models = cfg.num_models
     clinical_names = np.load(os.path.join(datasetdir, "clinical_names.npy"),
                              allow_pickle=True)
@@ -308,7 +377,8 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
             key = jax.random.fold_in(base_key, 1000 * model_idx + val_idx)
             k_rec, k_sample, k_sweep = jax.random.split(key, 3)
             loc_hat, scale_hat, rois_reconstruction = reconstruction_stats(
-                model, params, data, M, k_rec, chunk=chunk, cfg=cfg)
+                model, params, data, M, k_rec, chunk=chunk, cfg=cfg,
+                exact=exact_reconstruction)
             rois_recs.append(np.asarray(rois_reconstruction))
 
             if sampling_strategy == "likelihood":
@@ -320,9 +390,14 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                 scores_values = jnp.transpose(
                     jnp.asarray(scores_grid, dtype=jnp.float32), (2, 0, 1))
 
-            avatars = avatar_sweep(model, params, data, scores_values,
-                                   sample_latents, k_sweep, chunk=chunk,
-                                   cfg=cfg)
+            if mesh is not None:
+                avatars = avatar_sweep_sharded(
+                    model, params, data, scores_values, sample_latents,
+                    k_sweep, mesh, cfg=cfg)
+            else:
+                avatars = avatar_sweep(model, params, data, scores_values,
+                                       sample_latents, k_sweep, chunk=chunk,
+                                       cfg=cfg)
             if n_models == 1:
                 rois_digital_avatars[val_idx] = np.asarray(avatars)
             else:

@@ -96,6 +96,57 @@ def _avatar_kernel(dims: FusedDims, sample_latents: bool, *refs):
     out_ref[0] = loc
 
 
+def build_cell_grid(clinical, scores_values):
+    """Modified-clinical tensor for every (sample, score) perturbation cell:
+    ``[n_samples * n_scores, B, d1]`` (tiny; built in XLA)."""
+    n_samples, b, n_scores = scores_values.shape
+    eye = jnp.eye(n_scores, dtype=clinical.dtype)           # [S, C]
+    # cdata[p, s, b, c] = clinical[b, c]*(1-eye[s,c]) + scores[p,b,s]*eye[s,c]
+    cdata = (clinical[None, None] * (1.0 - eye)[None, :, None, :]
+             + scores_values.transpose(0, 2, 1)[:, :, :, None]
+             * eye[None, :, None, :])
+    return cdata.reshape(n_samples * n_scores, b, clinical.shape[-1])
+
+
+def sweep_cells(sp, posteriors, cdata, eps, dims: FusedDims,
+                sample_latents: bool, interpret: bool = False):
+    """Run the avatar grid kernel over prepared cells.
+
+    ``sp``: split params; ``posteriors``: cell-invariant rois posteriors
+    ``(cmu2, clv2, smu2, slv2)``; ``cdata [n_cells, B, d1]`` perturbed
+    clinical; ``eps [n_cells, B, cd+s2]`` reparam noise. Returns decoded
+    ROI locs ``[n_cells, B, d2]``. This is the per-device body of the
+    multi-chip sharded sweep (cells shard over the mesh; params and
+    posteriors replicate)."""
+    n_cells, b = cdata.shape[0], cdata.shape[1]
+    e1 = [sp[f"enc1_{n}"] for n in ENC_NAMES]
+    d2p = [sp[f"dec2_{n}"] for n in DEC_NAMES]
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    stream_in = lambda d: pl.BlockSpec((1, b, d), lambda i: (i, 0, 0))
+
+    kernel = partial(_avatar_kernel, dims, sample_latents)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        out_shape=jax.ShapeDtypeStruct((n_cells, b, dims.d2), jnp.float32),
+        in_specs=([stream_in(dims.d1), stream_in(dims.cd + dims.s2)]
+                  + [whole] * (10 + 4 + 4)),
+        out_specs=stream_in(dims.d2),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(cdata, eps, *e1, *d2p, *posteriors)
+
+
+def rois_posteriors(model, params, rois):
+    """Cell-invariant ROI-encoder posteriors, encoded once in XLA."""
+    names = [m.name for m in model.modalities]
+    enc = model.apply({"params": params}, {names[1]: rois}, method="encode")
+    cmu2, clv2 = enc[names[1]]
+    smu2, slv2 = enc[names[1] + "_style"]
+    return cmu2, clv2, smu2, slv2
+
+
 def fused_avatar_sweep(model, params, data, scores_values,
                        sample_latents: bool, rng, cfg,
                        interpret: bool = False):
@@ -110,41 +161,13 @@ def fused_avatar_sweep(model, params, data, scores_values,
     dims = dims_from(cfg, b)
     sp = split_params(flatten_params(params, model), dims)
 
-    # modified clinical for every (sample, score) cell: tiny, built in XLA
-    eye = jnp.eye(n_scores, dtype=clinical.dtype)           # [S, C]
-    # cdata[p, s, b, c] = clinical[b, c]*(1-eye[s,c]) + scores[p,b,s]*eye[s,c]
-    cdata = (clinical[None, None] * (1.0 - eye)[None, :, None, :]
-             + scores_values.transpose(0, 2, 1)[:, :, :, None]
-             * eye[None, :, None, :])
+    cdata = build_cell_grid(clinical, scores_values)
     n_cells = n_samples * n_scores
-    cdata = cdata.reshape(n_cells, b, dims.d1)
-
-    # rois posteriors are cell-invariant: encode once in XLA
-    enc = model.apply({"params": params},
-                      {names[1]: rois}, method="encode")
-    cmu2, clv2 = enc[names[1]]
-    smu2, slv2 = enc[names[1] + "_style"]
-
+    posteriors = rois_posteriors(model, params, rois)
     eps = jax.random.normal(rng, (n_cells, b, dims.cd + dims.s2),
                             jnp.float32)
-
-    e1 = [sp[f"enc1_{n}"] for n in ENC_NAMES]
-    d2p = [sp[f"dec2_{n}"] for n in DEC_NAMES]
-    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
-    stream_in = lambda d: pl.BlockSpec((1, b, d), lambda i: (i, 0, 0))
-
-    kernel = partial(_avatar_kernel, dims, sample_latents)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_cells,),
-        out_shape=jax.ShapeDtypeStruct((n_cells, b, dims.d2), jnp.float32),
-        in_specs=([stream_in(dims.d1), stream_in(dims.cd + dims.s2)]
-                  + [whole] * (10 + 4 + 4)),
-        out_specs=stream_in(dims.d2),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(cdata, eps, *e1, *d2p, cmu2, clv2, smu2, slv2)
+    out = sweep_cells(sp, posteriors, cdata, eps, dims, sample_latents,
+                      interpret=interpret)
     # [n_cells, B, R] = [n_samples*n_scores, B, R]
     out = out.reshape(n_samples, n_scores, b, dims.d2)
     return jnp.transpose(out, (2, 1, 0, 3))

@@ -82,7 +82,9 @@ class Config:
 
     # parallelism / performance (new capabilities; absent in the reference)
     data_parallel: int = 1          # devices along the batch axis
-    ensemble_parallel: bool = True  # vmap ensemble members when possible
+    ensemble_parallel: object = "auto"  # train ensemble members together
+    # over a model axis ("auto" / True / False; "auto" enables it whenever
+    # it beats the sequential fused path — see trainer.resolve_ensemble)
     precision: str = "float32"      # or "bfloat16" for the compute path
     fused_training: bool = True     # single-Pallas-kernel train step + epoch
     # scan on supported configs (ops/fused_step.py); per-step metric logging
@@ -121,6 +123,14 @@ class Config:
             self.div_weight = 1.0 / (self.num_mods + 1)
         self.alpha_modalities = [self.div_weight_uniform_content] + [
             self.div_weight for _ in range(self.num_mods)]
+        if isinstance(self.ensemble_parallel, str):
+            val = self.ensemble_parallel.lower()
+            if val in ("true", "1", "yes"):
+                self.ensemble_parallel = True
+            elif val in ("false", "0", "no"):
+                self.ensemble_parallel = False
+            else:
+                self.ensemble_parallel = "auto"
         return self
 
     # ---- persistence (reference: flags.rar via torch.save;

@@ -215,6 +215,93 @@ def make_ensemble_train_step(cfg, model, optimizer=None,
     )
 
 
+def make_ensemble_scan_train_step(cfg, model, optimizer=None,
+                                  mesh: Optional[Mesh] = None):
+    """Epoch trainer for the whole ensemble: ``lax.scan`` over a steps axis
+    of the vmapped member step.
+
+    Inputs carry BOTH a leading ensemble axis and a steps axis:
+    ``params/opt_state`` are ``[n_models, ...]`` stacks, ``batches`` are
+    ``{mod: [n_models, n_steps, B, d]}`` (each member consumes its own
+    fold's batches), ``rngs`` is ``[n_models, n_steps]`` of PRNG keys.
+    Returns per-member per-step ``losses [n_models, n_steps]`` and a metric
+    dict with the same leading axes — the full scalar families survive.
+
+    Replaces the reference's sequential member loop
+    (``run_epochs.py:228-241``) with one device dispatch per epoch; with a
+    ``(model, data)`` mesh the members spread over the ``model`` axis and
+    each member's batch rows over ``data``.
+    """
+    optimizer = optimizer or make_optimizer(cfg)
+
+    def one(params, opt_state, batch, rng):
+        rng_model, rng_loss, rng_drop = jax.random.split(rng, 3)
+
+        def loss_fn(p):
+            variables = {"params": p}
+            out = model.apply(variables, batch, train=True,
+                              rngs={"sample": rng_model, "dropout": rng_drop})
+            return total_loss(cfg, model, variables, batch, out, rng_loss,
+                              train=True)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_opt_state, loss,
+                metrics)
+
+    vstep = jax.vmap(one)
+
+    def scan_steps(params, opt_state, batches, rngs):
+        def body(carry, inp):
+            p, o = carry
+            batch, rng = inp
+            p, o, loss, metrics = vstep(p, o, batch, rng)
+            return (p, o), (loss, metrics)
+
+        # scan wants the steps axis leading
+        batches_t = {k: jnp.swapaxes(v, 0, 1) for k, v in batches.items()}
+        rngs_t = jnp.swapaxes(rngs, 0, 1)
+        (params, opt_state), (losses, metrics) = jax.lax.scan(
+            body, (params, opt_state), (batches_t, rngs_t))
+        swap = lambda x: jnp.swapaxes(x, 0, 1)  # -> [n_models, n_steps]
+        return (params, opt_state, swap(losses),
+                jax.tree_util.tree_map(swap, metrics))
+
+    donate = (0, 1)
+    if mesh is None:
+        return jax.jit(scan_steps, donate_argnums=donate)
+    ens = NamedSharding(mesh, P("model"))
+    ens_data = NamedSharding(mesh, P("model", None, "data"))
+    jitted = jax.jit(scan_steps,
+                     in_shardings=(ens, ens, ens_data, ens),
+                     out_shardings=(ens, ens, ens, ens),
+                     donate_argnums=donate)
+
+    def call(params, opt_state, batches, rngs):
+        # inputs may arrive committed with a stale sharding (e.g. restacked
+        # from last epoch's sliced outputs); place them explicitly
+        params = jax.device_put(params, ens)
+        opt_state = jax.device_put(opt_state, ens)
+        batches = {k: jax.device_put(v, ens_data)
+                   for k, v in batches.items()}
+        rngs = jax.device_put(rngs, ens)
+        return jitted(params, opt_state, batches, rngs)
+
+    return call
+
+
+def stack_trees(trees):
+    """Stack a list of identically-shaped pytrees along a new leading
+    (ensemble) axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def unstack_tree(tree, n: int):
+    """Inverse of :func:`stack_trees`: n per-member pytrees."""
+    return [jax.tree_util.tree_map(lambda x: x[i], tree) for i in range(n)]
+
+
 def init_params(cfg, model, example_batch, seed: int = 0):
     """Initialize model parameters from an example batch."""
     variables = model.init(

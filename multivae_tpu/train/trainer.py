@@ -24,7 +24,13 @@ from ..data import MissingModalitySampler, simple_batches
 from ..utils.filehandling import model_checkpoint_dir, model_log_dir
 from .checkpoint import save_checkpoint, save_networks
 from .logging import MetricLogger
-from .train_step import make_eval_step, make_train_step
+from .train_step import (
+    make_ensemble_scan_train_step,
+    make_eval_step,
+    make_train_step,
+    stack_trees,
+    unstack_tree,
+)
 
 
 def _to_device(batch: Dict[str, np.ndarray]):
@@ -33,15 +39,18 @@ def _to_device(batch: Dict[str, np.ndarray]):
 
 def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
                     rng, log_every: int = 1, fused_scan_fn=None,
-                    step_fn_remainder=None, shard_multiple: int = 1):
+                    step_fn_remainder=None, shard_multiple: int = 1,
+                    epoch: int = 0):
     cfg = exp.cfg
     dataset = exp.dataset_train
     sub_indices = None
     if cfg.num_models > 1:
         dataset = dataset[model_idx]
         sub_indices = dataset.indices
+    # per-epoch reshuffle (the reference's DataLoader re-samples every epoch)
     sampler = MissingModalitySampler(dataset, batch_size=cfg.batch_size,
-                                     indices=sub_indices)
+                                     indices=sub_indices,
+                                     seed=cfg.seed + epoch)
     params = exp.params[model_idx]
     opt_state = exp.opt_states[model_idx]
     n_steps = 0
@@ -93,6 +102,127 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
     exp.params[model_idx] = params
     exp.opt_states[model_idx] = opt_state
     return rng, n_steps
+
+
+def resolve_ensemble(cfg, model) -> bool:
+    """Whether to train ensemble members simultaneously over a model axis.
+
+    ``cfg.ensemble_parallel`` may be True/False or ``"auto"``: auto enables
+    the parallel path whenever more than one device is present, and on a
+    single chip whenever the sequential path would NOT get the fused Pallas
+    epoch kernel anyway (the fused kernel is the faster single-chip option
+    for the flagship config)."""
+    if cfg.num_models <= 1:
+        return False
+    if cfg.ensemble_parallel is True:
+        return True
+    if cfg.ensemble_parallel is False:
+        return False
+    if len(jax.devices()) > 1:
+        return True
+    if cfg.fused_training:
+        from ..ops import fused_generic as _fg
+        from ..ops import fused_step as _fs
+        example = {m.name: None for m in model.modalities}
+        if (_fs.supports_fused(cfg, model, example)
+                or _fg.supports_generic_fused(cfg, model, example)):
+            return False
+    return True
+
+
+def ensemble_mesh(cfg):
+    """(model, data) mesh for ensemble training, or None on a single device
+    (the vmapped step still batches all members into one dispatch)."""
+    n_dev = len(jax.devices())
+    if n_dev <= 1 or n_dev % cfg.num_models != 0:
+        return None
+    from ..parallel import make_mesh
+    return make_mesh(n_model=cfg.num_models, n_data=n_dev // cfg.num_models)
+
+
+def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
+                             log_every: int = 1, epoch: int = 0):
+    """All-members epoch: one scanned+vmapped dispatch for the common
+    complete-batch prefix, per-member general steps for the remainder.
+
+    Per member the batch order and rng stream match the sequential
+    (non-fused) path exactly, so training is numerically equivalent to the
+    member loop it replaces (``run_epochs.py:228-241``)."""
+    cfg = exp.cfg
+    mod_names = [m.name for m in exp.model.modalities]
+    n_models = cfg.num_models
+
+    streams = []
+    for m in range(n_models):
+        dataset = exp.dataset_train[m]
+        sampler = MissingModalitySampler(dataset, batch_size=cfg.batch_size,
+                                         indices=dataset.indices,
+                                         seed=cfg.seed + epoch)
+        batches = []
+        for idxs in sampler:
+            data, _, _ = dataset.gather(idxs)
+            batches.append(data)
+        streams.append(batches)
+
+    def is_scannable(data):
+        return (len(next(iter(data.values()))) == cfg.batch_size
+                and all(name in data for name in mod_names))
+
+    prefix = []
+    for batches in streams:
+        k = 0
+        while k < len(batches) and is_scannable(batches[k]):
+            k += 1
+        prefix.append(k)
+    n_common = min(prefix)
+
+    # per-member rng subs drawn in the same order as the sequential path
+    subs = []
+    for m in range(n_models):
+        member_subs = []
+        r = rngs[m]
+        for _ in range(len(streams[m])):
+            r, s = jax.random.split(r)
+            member_subs.append(s)
+        rngs[m] = r
+        subs.append(member_subs)
+
+    n_steps = 0
+    if n_common > 0:
+        stacked_params = stack_trees(exp.params)
+        stacked_opt = stack_trees(exp.opt_states)
+        grid = {name: jax.numpy.asarray(np.stack(
+            [np.stack([streams[m][i][name] for i in range(n_common)])
+             for m in range(n_models)])) for name in mod_names}
+        rng_grid = jax.numpy.stack(
+            [jax.numpy.stack(subs[m][:n_common]) for m in range(n_models)])
+        stacked_params, stacked_opt, losses, metrics = ens_scan_fn(
+            stacked_params, stacked_opt, grid, rng_grid)
+        exp.params = unstack_tree(stacked_params, n_models)
+        exp.opt_states = unstack_tree(stacked_opt, n_models)
+        n_steps += n_common * n_models
+        metrics = jax.device_get(metrics)
+        for m in range(n_models):
+            if loggers[m] is None:
+                continue
+            for i in range(0, n_common, log_every):
+                loggers[m].write_training_logs(
+                    {k: v[m, i] for k, v in metrics.items()})
+
+    # remainder: missing-modality groups / partial batches, per member
+    for m in range(n_models):
+        params = exp.params[m]
+        opt_state = exp.opt_states[m]
+        for i in range(n_common, len(streams[m])):
+            data = streams[m][i]
+            params, opt_state, loss, metrics = step_fn(
+                params, opt_state, _to_device(data), subs[m][i])
+            n_steps += 1
+            if loggers[m] is not None and i % log_every == 0:
+                loggers[m].write_training_logs(jax.device_get(metrics))
+        exp.params[m] = params
+        exp.opt_states[m] = opt_state
+    return rngs, n_steps
 
 
 def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
@@ -165,6 +295,10 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     if cfg.load_saved:
         resume_from_checkpoints(exp)
     cfg.save(os.path.join(cfg.dir_experiment_run, "flags.json"))
+    if resolve_ensemble(cfg, exp.model):
+        return run_epochs_ensemble(exp, use_tensorboard=use_tensorboard,
+                                   log_every=log_every, progress=progress,
+                                   profile_dir=profile_dir)
     mesh = None
     if cfg.data_parallel > 1:
         # shard the batch over a data mesh (new capability; the fused
@@ -205,7 +339,7 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                 exp, model_idx, step_fn, logger, rng, log_every,
                 fused_scan_fn=fused_scan_fn,
                 step_fn_remainder=step_fn_remainder,
-                shard_multiple=cfg.data_parallel)
+                shard_multiple=cfg.data_parallel, epoch=epoch)
             rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng, epoch)
             if (profile_dir is not None and model_idx == 0
                     and epoch == cfg.start_epoch):
@@ -226,4 +360,61 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                       f"[{elapsed:.1f}s]", end="", flush=True)
         if progress:
             print()
+        logger.close()
+
+
+def run_epochs_ensemble(exp, use_tensorboard: bool = True,
+                        log_every: int = 1, progress: bool = True,
+                        profile_dir: str | None = None):
+    """Ensemble-parallel epoch runner: all members advance together each
+    epoch via :func:`make_ensemble_scan_train_step` (model axis over the
+    mesh when devices allow, one vmapped dispatch otherwise).
+
+    Replaces the sequential member loop of the reference
+    (``run_epochs.py:228-241``) — the "natural TPU win" of SURVEY §2.6.
+    Per-member logs, checkpoints and eval cadence are identical to the
+    sequential path."""
+    cfg = exp.cfg
+    mesh = ensemble_mesh(cfg)
+    ens_scan_fn = make_ensemble_scan_train_step(cfg, exp.model, mesh=mesh)
+    step_fn = make_train_step(cfg, exp.model)
+    eval_fn = make_eval_step(cfg, exp.model)
+    loggers = [MetricLogger(model_log_dir(cfg, m),
+                            use_tensorboard=use_tensorboard)
+               for m in range(cfg.num_models)]
+    for logger in loggers:
+        logger.add_text("FLAGS", cfg.describe())
+    rngs = [jax.random.PRNGKey(cfg.seed + 1000 * m)
+            for m in range(cfg.num_models)]
+    mesh_desc = (f"mesh model={mesh.shape['model']} data={mesh.shape['data']}"
+                 if mesh is not None else "single device, vmapped members")
+    print(f"training epochs progress (ensemble of {cfg.num_models}, "
+          f"{mesh_desc}):")
+    t0 = time.time()
+    for epoch in range(cfg.start_epoch, cfg.end_epoch):
+        if profile_dir is not None and epoch == cfg.start_epoch:
+            jax.profiler.start_trace(profile_dir)
+        rngs, _ = train_one_epoch_ensemble(exp, ens_scan_fn, step_fn,
+                                           loggers, rngs, log_every,
+                                           epoch=epoch)
+        for m in range(cfg.num_models):
+            rngs[m] = test_one_epoch(exp, m, eval_fn, loggers[m], rngs[m],
+                                     epoch)
+        if profile_dir is not None and epoch == cfg.start_epoch:
+            jax.profiler.stop_trace()
+        if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
+            for m in range(cfg.num_models):
+                ckpt_dir = model_checkpoint_dir(cfg, m, epoch)
+                save_checkpoint(ckpt_dir, exp.params[m], exp.opt_states[m],
+                                cfg.model_save)
+                save_networks(os.path.dirname(ckpt_dir), exp.params[m])
+        if progress:
+            frac = (epoch + 1 - cfg.start_epoch) / max(
+                cfg.end_epoch - cfg.start_epoch, 1)
+            print(f"\r  ensemble: epoch {epoch + 1}/{cfg.end_epoch} "
+                  f"({100 * frac:.1f}%) [{time.time() - t0:.1f}s]",
+                  end="", flush=True)
+    if progress:
+        print()
+    for logger in loggers:
         logger.close()

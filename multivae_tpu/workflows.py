@@ -26,12 +26,20 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               data_multiplications=1, dropout_rate=0.0,
               initial_out_logvar=-3.0, learn_output_scale=True,
               out_scale_per_subject=False, method="joint_elbo",
-              grad_scaling=False, use_tensorboard=True, log_every=1):
+              grad_scaling=False, use_tensorboard=True, log_every=1,
+              data_parallel=1, ensemble_parallel="auto",
+              fused_training=True):
     """Train the model (``workflow.py:41-182``); same parameter surface.
 
     Creates the run directory ``<dataset>_<timestamp>``, trains all ensemble
     members, checkpoints every 5 epochs, and appends the run to the
     ``runs.tsv`` registry.
+
+    Parallelism knobs (new capabilities; the reference is single-device):
+    ``data_parallel`` shards the batch over that many devices;
+    ``ensemble_parallel`` trains ensemble members simultaneously over a
+    model axis (``auto`` enables it whenever ``num_models > 1``);
+    ``fused_training`` enables the single-kernel Pallas epoch path.
     """
     print_title(f"TRAIN: {dataset}")
     cfg = Config(
@@ -50,6 +58,9 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
         num_hidden_layer_decoder=num_hidden_layer_decoder,
         dropout_rate=dropout_rate, style_dim=list(style_dim),
         data_seed=data_seed, grad_scaling=grad_scaling,
+        data_parallel=int(data_parallel),
+        ensemble_parallel=ensemble_parallel,
+        fused_training=bool(fused_training),
     ).derive()
     create_dir_structure(cfg)
 
@@ -127,10 +138,16 @@ def _load_trained(outdir: str, run: str):
 def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
             n_validation=5, n_samples=200, n_subjects=50, M=1000,
             trust_level=0.75, seed=1037, reg_method="hierarchical",
-            sample_latents=True, vote_prop=1, chunk=16):
+            sample_latents=True, vote_prop=1, chunk=16,
+            use_sharding="auto", exact_reconstruction="auto"):
     """Digital avatars analysis (``workflow.py:185-539``): perturb one
     clinical score at a time, decode ROI avatars, regress avatar on score per
-    ROI and vote Bonferroni-significant associations."""
+    ROI and vote Bonferroni-significant associations.
+
+    ``use_sharding`` shards the perturbation grid over all devices (auto
+    when more than one is present); ``exact_reconstruction=False`` forces
+    the reference's Monte-Carlo M-pass reconstruction average instead of
+    its closed form."""
     from .analysis.daa import run_daa
 
     print_title(f"DIGITAL AVATARS ANALYSIS: {dataset}")
@@ -146,7 +163,8 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
                      n_subjects=n_subjects, M=M, trust_level=trust_level,
                      seed=seed, reg_method=reg_method,
                      sample_latents=sample_latents, vote_prop=vote_prop,
-                     chunk=chunk)
+                     chunk=chunk, use_sharding=use_sharding,
+                     exact_reconstruction=exact_reconstruction)
     return resdir
 
 

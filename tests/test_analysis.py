@@ -234,3 +234,29 @@ class TestEuaimsCohortName:
                          allow_missing_blocks=True, overwrite=True)
         assert len(dm.train_dataset) > 0
         assert len(dm.test_dataset) > 0
+
+
+class TestShardedDaaRouting:
+    def test_sharded_routing_matches_unsharded(self, pipeline, tmp_path):
+        """run_daa routes through avatar_sweep_sharded when >1 device is
+        present (VERDICT round-1 item 3); outputs match the single-device
+        path (deterministic decode)."""
+        import jax
+        from multivae_tpu.analysis.daa import run_daa
+        from multivae_tpu.workflows import _load_trained
+
+        assert len(jax.devices()) > 1
+        datasetdir, outdir, run, _, _ = pipeline
+        experiment, cfg = _load_trained(outdir, run)
+        kw = dict(DAA_KW)
+        kw.update(sample_latents=False, n_validation=1, n_samples=8)
+        r_seq = run_daa(experiment, cfg, datasetdir,
+                        str(tmp_path / "daa_seq"), use_sharding=False, **kw)
+        r_par = run_daa(experiment, cfg, datasetdir,
+                        str(tmp_path / "daa_par"), use_sharding="auto", **kw)
+        a = np.load(os.path.join(r_seq, "rois_digital_avatars.npy"))
+        b = np.load(os.path.join(r_par, "rois_digital_avatars.npy"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        pa = np.load(os.path.join(r_seq, "pvalues.npy"))
+        pb = np.load(os.path.join(r_par, "pvalues.npy"))
+        np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-8)

@@ -162,3 +162,40 @@ class TestResume:
         cfg = Config.load(os.path.join(rundir, "flags.json"))
         assert cfg.end_epoch == 10
         assert cfg.start_epoch == 6
+
+
+class TestEnsembleParallel:
+    @pytest.mark.slow
+    def test_parallel_matches_sequential_members(self, tmp_path):
+        """run_epochs with ensemble_parallel trains all members over the
+        model axis and matches the sequential member loop to tolerance
+        (VERDICT round-1 item 2; replaces run_epochs.py:228-241)."""
+        from multivae_tpu.train.trainer import run_epochs
+        from multivae_tpu.utils.filehandling import create_dir_structure
+
+        datasetdir = str(tmp_path / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=4,
+                              n_rois=12, missing_rate=0.2, seed=2)
+
+        def train(ens, tag):
+            outdir = str(tmp_path / f"out_{tag}")
+            os.makedirs(outdir)
+            cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                         dir_experiment=outdir, input_dim=[4, 12],
+                         class_dim=4, style_dim=[2, 3], end_epoch=3,
+                         batch_size=16, method="joint_elbo", num_models=2,
+                         ensemble_parallel=ens,
+                         fused_training=False).derive()
+            create_dir_structure(cfg)
+            exp = MultimodalExperiment(cfg)
+            exp.set_optimizers()
+            run_epochs(exp, use_tensorboard=False, progress=False)
+            return exp
+
+        e_par = train(True, "ens")
+        e_seq = train(False, "seq")
+        for m in range(2):
+            for a, b in zip(jax.tree_util.tree_leaves(e_par.params[m]),
+                            jax.tree_util.tree_leaves(e_seq.params[m])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-4, atol=1e-5)

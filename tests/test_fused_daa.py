@@ -139,3 +139,54 @@ class TestShardedSweep:
                                    rng=jax.random.PRNGKey(0), mesh=mesh)
         assert out.shape == (30, 5, 3, 24)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_sharded_fused_matches_single_device(self, setup):
+        """shard_map'd Pallas sweep == single-device fused sweep, bit-for-bit
+        per cell (same eps stream), deterministic AND sampled."""
+        from multivae_tpu.analysis.daa import avatar_sweep_sharded
+        from multivae_tpu.parallel import data_mesh
+        cfg, model, params, data, scores = setup
+        mesh = data_mesh(8)
+        for sample_latents in (False, True):
+            single = fused_avatar_sweep(model, params, data, scores,
+                                        sample_latents=sample_latents,
+                                        rng=jax.random.PRNGKey(7), cfg=cfg,
+                                        interpret=True)
+            sharded = avatar_sweep_sharded(model, params, data, scores,
+                                           sample_latents=sample_latents,
+                                           rng=jax.random.PRNGKey(7),
+                                           mesh=mesh, cfg=cfg)
+            np.testing.assert_allclose(np.asarray(sharded),
+                                       np.asarray(single), rtol=1e-6,
+                                       atol=1e-6)
+
+
+class TestExactReconstructionFlag:
+    def test_exact_false_forces_monte_carlo(self, setup):
+        """exact=False keeps the reference's MC estimator on fused configs:
+        the result carries MC noise but converges to the closed form."""
+        cfg, model, params, data, _ = setup
+        mc = reconstruction_stats(model, params, data, M=512,
+                                  rng=jax.random.PRNGKey(3), cfg=cfg,
+                                  exact=False)
+        exact = reconstruction_stats(model, params, data, M=4,
+                                     rng=jax.random.PRNGKey(3), cfg=cfg,
+                                     exact=True)
+        # different estimator (MC draws differ from the closed form)...
+        assert not np.allclose(np.asarray(mc[0]), np.asarray(exact[0]),
+                               rtol=1e-6, atol=1e-8)
+        # ...but within MC error at M=512
+        np.testing.assert_allclose(np.asarray(mc[0]), np.asarray(exact[0]),
+                                   atol=0.2)
+        np.testing.assert_allclose(np.asarray(mc[2]), np.asarray(exact[2]),
+                                   atol=0.2)
+
+    def test_exact_true_equals_analytic(self, setup):
+        cfg, model, params, data, _ = setup
+        got = reconstruction_stats(model, params, data, M=4,
+                                   rng=jax.random.PRNGKey(0), cfg=cfg,
+                                   exact=True)
+        want = analytic_reconstruction_stats(model, params, data)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6)
