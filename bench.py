@@ -76,7 +76,7 @@ def bench_jax():
         rngs = jax.random.split(jax.random.PRNGKey(seed), chunk)
         return scan_fn(p, o, batches, rngs)
 
-    params, opt_state, losses = run_chunk(params, opt_state, 0)
+    params, opt_state, losses, _metrics = run_chunk(params, opt_state, 0)
     # block_until_ready is unreliable on the axon relay; fetching the chained
     # loss forces the whole dependency chain
     _ = float(losses[-1])
@@ -87,8 +87,8 @@ def bench_jax():
     for window in range(4):
         t0 = time.perf_counter()
         for i in range(reps):
-            params, opt_state, losses = run_chunk(params, opt_state,
-                                                  window * reps + i + 1)
+            params, opt_state, losses, _metrics = run_chunk(
+                params, opt_state, window * reps + i + 1)
         _ = float(losses[-1])
         best = max(best, reps * chunk / (time.perf_counter() - t0))
     train_sps = best

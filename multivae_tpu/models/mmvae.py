@@ -176,7 +176,10 @@ class MultimodalVAE(nn.Module):
             mus = jnp.concatenate([mus, zero])
             logvars = jnp.concatenate([logvars, zero])
         k = mus.shape[0]
-        weights = jnp.full((k,), 1.0 / k, dtype=mus.dtype)
+        # static host-side constant (k is trace-static); keeping it numpy
+        # lets the jsd alpha-PoE reshape happen at trace time, which Mosaic
+        # requires inside the fused kernels
+        weights = np.full((k,), 1.0 / k, dtype=np.float32)
         if use_expert is not None:
             joint = distr_subsets[use_expert]
         elif sample:

@@ -32,10 +32,8 @@ def supports_generic_fused(cfg, model, batch) -> bool:
     if cfg.dropout_rate != 0.0:
         # dropout needs an in-kernel RNG stream (Mosaic lacks random_split)
         return False
-    if cfg.method == "jsd" and jax.default_backend() != "cpu":
-        # the alpha-PoE dynamic-prior graph crashes the Mosaic compile
-        # helper on this toolchain; jsd stays on the XLA path on TPU
-        return False
+    # jsd is supported too: its alpha-PoE weights are static numpy constants
+    # (ops/fusion.py:alpha_poe), so no rank-changing reshape reaches Mosaic
     # conservative VMEM budget: params + states + one batch + activations
     param_floats = 0
     for m in model.modalities:
@@ -48,9 +46,11 @@ def supports_generic_fused(cfg, model, batch) -> bool:
 def make_generic_fused_epoch(cfg, model, interpret: bool = False):
     """Epoch trainer via in-kernel autodiff.
 
-    ``(params, opt_state, batches, rngs) -> (params, opt_state, losses)``
-    with ``batches = {mod: [n_steps, B, d]}`` and ``rngs [n_steps]`` PRNG
-    keys. ``opt_state`` is the FlatAdamState; converted at the boundary.
+    ``(params, opt_state, batches, rngs) -> (params, opt_state, losses,
+    metrics)`` with ``batches = {mod: [n_steps, B, d]}``, ``rngs [n_steps]``
+    PRNG keys, and ``metrics`` the full per-step scalar families
+    (``{name: [n_steps]}``, same keys as ``total_loss``). ``opt_state`` is
+    the FlatAdamState; converted at the boundary.
     """
     from jax.flatten_util import ravel_pytree
 
@@ -94,6 +94,8 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
                     off += uni_ws[m.name]
             return main, (uni or None)
 
+        metric_names_box = []
+
         def pure_step(p_leaves, batch_arrays, eps):
             batch = {name: batch_arrays[i] for i, name in enumerate(names)}
             noise_main, noise_uni = split_noise(eps)
@@ -103,10 +105,19 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
                 out = model.apply({"params": pp}, batch, train=True,
                                   noise=noise_main)
                 return total_loss(cfg, model, {"params": pp}, batch, out,
-                                  None, train=True, noise_uni=noise_uni)[0]
+                                  None, train=True, noise_uni=noise_uni)
 
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            return [loss] + jax.tree_util.tree_leaves(grads)
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            # full scalar families ride along with the loss (the names are
+            # recorded at trace time for the host-side unpacking)
+            mnames = sorted(k for k in metrics if k != "loss")
+            metric_names_box.clear()
+            metric_names_box.extend(mnames)
+            return ([loss]
+                    + [jnp.asarray(metrics[k], jnp.float32)
+                       for k in mnames]
+                    + jax.tree_util.tree_leaves(grads))
 
         example_batch = [jax.ShapeDtypeStruct(batches[nm].shape[1:],
                                               batches[nm].dtype)
@@ -118,6 +129,8 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
                                            example_kbits)
         consts = [jnp.asarray(c) for c in closed.consts]
         n_consts = len(consts)
+        mnames = list(metric_names_box)
+        n_met = len(mnames)
 
         def converted(p_vals, batch_arrays, kbits, *const_vals):
             flat_args = list(p_vals) + list(batch_arrays) + [kbits]
@@ -153,8 +166,12 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
             p_vals = [p_out[k][:] for k in range(n)]
             const_vals = [c[:] for c in const_refs]
             outs_step = converted(p_vals, batch_arrays, eps, *const_vals)
-            loss, g_leaves = outs_step[0], outs_step[1:]
+            loss = outs_step[0]
+            mvals = outs_step[1:1 + n_met]
+            g_leaves = outs_step[1 + n_met:]
             loss_ref[step, 0] = loss
+            for j in range(n_met):
+                loss_ref[step, 1 + j] = mvals[j]
             t = (cnt_ref[0, 0] + step + 1).astype(jnp.float32)
             bc1 = 1.0 - jnp.exp(t * math.log(b1))
             bc2 = 1.0 - jnp.exp(t * math.log(b2))
@@ -178,7 +195,8 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
                        pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [whole] * (3 * n)
                     + [whole] * n_consts)
-        out_shapes = ([jax.ShapeDtypeStruct((n_steps, 1), jnp.float32)]
+        out_shapes = ([jax.ShapeDtypeStruct((n_steps, 1 + n_met),
+                                            jnp.float32)]
                       + [jax.ShapeDtypeStruct(x.shape, x.dtype)
                          for x in leaves] * 3)
         out_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -194,6 +212,9 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
                 dimension_semantics=("arbitrary",)),
         )(*inputs)
         losses = outs[0][:, 0]
+        metrics = {"loss": losses}
+        for j, mname in enumerate(mnames):
+            metrics[mname] = outs[0][:, 1 + j]
         new_params = jax.tree_util.tree_unflatten(treedef, outs[1:1 + n])
         mu_tree = jax.tree_util.tree_unflatten(treedef,
                                                outs[1 + n:1 + 2 * n])
@@ -204,6 +225,6 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
             count=opt_state.count + n_steps,
             mu=ravel_pytree(mu_tree)[0],
             nu=ravel_pytree(nu_tree)[0])
-        return new_params, new_state, losses
+        return new_params, new_state, losses, metrics
 
     return jax.jit(scan_steps)

@@ -70,6 +70,30 @@ FLAT_NAMES = (
     "dec2_Wd", "dec2_bd", "dec2_olv",
 )
 
+# per-step scalar families emitted by the kernels; templates are filled with
+# the two modality names (m1, m2) and the joint subset key so fused-mode logs
+# carry the SAME families as the general path (utils/TBLogger.py:84-101)
+METRIC_TEMPLATES = (
+    "loss", "joint_divergence",
+    "log_prob/{m1}", "log_prob/{m2}",
+    "kld/{m1}", "kld/{m2}", "kld/{joint}",
+    "kld_style/{m1}_style", "kld_style/{m2}_style",
+    "latent_mu/{m1}", "latent_logvar/{m1}",
+    "latent_mu/{m1}_style", "latent_logvar/{m1}_style",
+    "latent_mu/{m2}", "latent_logvar/{m2}",
+    "latent_mu/{m2}_style", "latent_logvar/{m2}_style",
+)
+N_METRICS = len(METRIC_TEMPLATES)
+
+
+def metric_names(model) -> Tuple[str, ...]:
+    """Concrete metric keys for this model's modality names."""
+    m1, m2 = (m.name for m in model.modalities)
+    joint = "_".join(sorted([m1, m2]))
+    return tuple(t.format(m1=m1, m2=m2, joint=joint)
+                 for t in METRIC_TEMPLATES)
+
+
 # split layout consumed by the kernels (no intra-kernel lane slicing)
 SPLIT_NAMES = tuple(
     f"{e}_{part}" for e in ("enc1", "enc2")
@@ -343,12 +367,22 @@ def _fwd_bwd(dims: FusedDims, consts: FusedConsts, learn_scale: bool,
     def kl_sum(mu, lv):
         return -0.5 * jnp.sum(1.0 - jnp.exp(lv) - jnp.square(mu) + lv) / b
 
-    group_div = (kl_sum(mu_a, lv_a) + kl_sum(mu_b, lv_b)
-                 + kl_sum(mu_c, lv_c)) / 3.0
-    kld_style = kl_sum(smu1, slv1) + kl_sum(smu2, slv2)
+    kld_a = kl_sum(mu_a, lv_a)
+    kld_b = kl_sum(mu_b, lv_b)
+    kld_c = kl_sum(mu_c, lv_c)
+    kld_s1 = kl_sum(smu1, slv1)
+    kld_s2 = kl_sum(smu2, slv2)
+    group_div = (kld_a + kld_b + kld_c) / 3.0
+    kld_style = kld_s1 + kld_s2
     loss = (nll1 + nll2
             + beta * (beta_style * beta_style * kld_style
                       + beta_content * group_div))
+    # scalar families, ordered per METRIC_TEMPLATES
+    metrics = [loss, group_div, nll1, nll2, kld_a, kld_b, kld_c,
+               kld_s1, kld_s2,
+               jnp.mean(cmu1), jnp.mean(clv1), jnp.mean(smu1),
+               jnp.mean(slv1), jnp.mean(cmu2), jnp.mean(clv2),
+               jnp.mean(smu2), jnp.mean(slv2)]
 
     # ---------------- backward ----------------
     g = {}
@@ -419,7 +453,7 @@ def _fwd_bwd(dims: FusedDims, consts: FusedConsts, learn_scale: bool,
     g["enc2_Wh"] = dot_bt(x2, g_h2)
     g["enc1_bh"] = jnp.sum(g_h1, axis=0)
     g["enc2_bh"] = jnp.sum(g_h2, axis=0)
-    return loss, g
+    return loss, metrics, g
 
 
 # ===========================================================================
@@ -429,12 +463,13 @@ def _fused_kernel(dims, consts, learn_scale, matmul_bf16, *refs):
     n = len(SPLIT_NAMES)
     (x1_ref, x2_ref, ej_ref, es1_ref, es2_ref) = refs[:5]
     sp = {name: refs[5 + i][:] for i, name in enumerate(SPLIT_NAMES)}
-    loss_ref = refs[5 + n]
+    metrics_ref = refs[5 + n]
     g_refs = refs[5 + n + 1:]
-    loss, g = _fwd_bwd(dims, consts, learn_scale, matmul_bf16,
-                       x1_ref[:], x2_ref[:], ej_ref[:], es1_ref[:],
-                       es2_ref[:], sp)
-    loss_ref[0, 0] = loss
+    loss, metrics, g = _fwd_bwd(dims, consts, learn_scale, matmul_bf16,
+                                x1_ref[:], x2_ref[:], ej_ref[:], es1_ref[:],
+                                es2_ref[:], sp)
+    for j, val in enumerate(metrics):
+        metrics_ref[0, j] = val
     for i, name in enumerate(SPLIT_NAMES):
         g_refs[i][:] = g[name]
 
@@ -447,7 +482,7 @@ def fused_loss_and_grads(p: Dict[str, jnp.ndarray], x1, x2, eps_j, eps_s1,
     ``(loss, packed grads dict)``."""
     sp = split_params(p, dims)
     inputs = [x1, x2, eps_j, eps_s1, eps_s2] + [sp[n] for n in SPLIT_NAMES]
-    out_shapes = ([jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_shapes = ([jax.ShapeDtypeStruct((1, N_METRICS), jnp.float32)]
                   + [jax.ShapeDtypeStruct(sp[n].shape, jnp.float32)
                      for n in SPLIT_NAMES])
     kernel = partial(_fused_kernel, dims, consts, learn_scale, matmul_bf16)
@@ -462,7 +497,7 @@ def fused_loss_and_grads(p: Dict[str, jnp.ndarray], x1, x2, eps_j, eps_s1,
     )(*inputs)
     loss = outs[0][0, 0]
     grads_split = {n: g for n, g in zip(SPLIT_NAMES, outs[1:])}
-    return loss, join_params(grads_split, dims)
+    return loss, join_params(grads_split, dims), outs[0][0]
 
 
 def make_fused_train_step(cfg, model, optimizer, interpret: bool = False,
@@ -482,7 +517,7 @@ def make_fused_train_step(cfg, model, optimizer, interpret: bool = False,
         eps = jax.random.normal(
             rng, (dims.b, dims.cd + dims.s1 + dims.s2), jnp.float32)
         flat = flatten_params(params, model)
-        loss, grads_named = fused_loss_and_grads(
+        loss, grads_named, mvec = fused_loss_and_grads(
             flat, x1, x2, eps[:, :dims.cd],
             eps[:, dims.cd:dims.cd + dims.s1],
             eps[:, dims.cd + dims.s1:], dims, consts,
@@ -490,7 +525,9 @@ def make_fused_train_step(cfg, model, optimizer, interpret: bool = False,
         grads = unflatten_grads(grads_named, params, model)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss, {"loss": loss}
+        metrics = {name: mvec[j]
+                   for j, name in enumerate(metric_names(model))}
+        return new_params, new_opt_state, loss, metrics
 
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
@@ -507,7 +544,7 @@ def _epoch_kernel(dims, consts, learn_scale, matmul_bf16, adam, *refs):
     p_in = refs[6:6 + n]
     mu_in = refs[6 + n:6 + 2 * n]
     nu_in = refs[6 + 2 * n:6 + 3 * n]
-    loss_ref = refs[6 + 3 * n]
+    metrics_ref = refs[6 + 3 * n]
     p_out = refs[7 + 3 * n:7 + 4 * n]
     mu_out = refs[7 + 4 * n:7 + 5 * n]
     nu_out = refs[7 + 5 * n:7 + 6 * n]
@@ -522,10 +559,11 @@ def _epoch_kernel(dims, consts, learn_scale, matmul_bf16, adam, *refs):
             nu_out[i][:] = nu_in[i][:]
 
     sp = {name: p_out[i][:] for i, name in enumerate(SPLIT_NAMES)}
-    loss, g = _fwd_bwd(dims, consts, learn_scale, matmul_bf16,
-                       x1_ref[0], x2_ref[0], ej_ref[0], es1_ref[0],
-                       es2_ref[0], sp)
-    loss_ref[step, 0] = loss
+    loss, metrics, g = _fwd_bwd(dims, consts, learn_scale, matmul_bf16,
+                                x1_ref[0], x2_ref[0], ej_ref[0], es1_ref[0],
+                                es2_ref[0], sp)
+    for j, val in enumerate(metrics):
+        metrics_ref[step, j] = val
 
     # Adam (identical math to flat_adam / optax.adam, eps_root=0)
     t = (count_ref[0, 0] + step + 1).astype(jnp.float32)
@@ -549,7 +587,8 @@ def fused_epoch(sp, mu, nu, count, x1s, x2s, ejs, es1s, es2s,
 
     ``x1s``/``x2s``: ``[n_steps, B, d]`` batches; ``ejs``/``es*s``: reparam
     noise per step; ``count``: Adam step counter at entry. Returns
-    ``(sp, mu, nu, losses[n_steps])``.
+    ``(sp, mu, nu, metrics[n_steps, N_METRICS])`` — the full per-step scalar
+    families (loss first; see METRIC_TEMPLATES).
     """
     n_steps = x1s.shape[0]
     n = len(SPLIT_NAMES)
@@ -560,12 +599,12 @@ def fused_epoch(sp, mu, nu, count, x1s, x2s, ejs, es1s, es2s,
     kernel = partial(_epoch_kernel, dims, consts, learn_scale, matmul_bf16,
                      adam)
     out_shapes = (
-        [jax.ShapeDtypeStruct((n_steps, 1), jnp.float32)]
+        [jax.ShapeDtypeStruct((n_steps, N_METRICS), jnp.float32)]
         + [jax.ShapeDtypeStruct(sp[name].shape, jnp.float32)
            for name in SPLIT_NAMES] * 3)
-    # per-step losses live in SMEM as a whole (n_steps, 1) array — whole-
-    # array blocks sidestep the (8, 128) VMEM tiling constraint for this
-    # scalar-per-step output
+    # per-step metric scalars live in SMEM as a whole (n_steps, N_METRICS)
+    # array — whole-array blocks sidestep the (8, 128) VMEM tiling
+    # constraint for this scalars-per-step output
     out_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                  + [whole] * (3 * n))
     inputs = ([x1s, x2s, ejs, es1s, es2s, count_arr]
@@ -586,11 +625,11 @@ def fused_epoch(sp, mu, nu, count, x1s, x2s, ejs, es1s, es2s,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(*inputs)
-    losses = outs[0][:, 0]
+    metrics = outs[0]
     p_new = {name: outs[1 + i] for i, name in enumerate(SPLIT_NAMES)}
     mu_new = {name: outs[1 + n + i] for i, name in enumerate(SPLIT_NAMES)}
     nu_new = {name: outs[1 + 2 * n + i] for i, name in enumerate(SPLIT_NAMES)}
-    return p_new, mu_new, nu_new, losses
+    return p_new, mu_new, nu_new, metrics
 
 
 def make_fused_scan_train_step(cfg, model, optimizer=None,
@@ -598,8 +637,10 @@ def make_fused_scan_train_step(cfg, model, optimizer=None,
                                matmul_bf16: bool = True):
     """Epoch trainer on the grid kernel.
 
-    ``(params, opt_state, batches, rngs) -> (params, opt_state, losses)``
-    with ``batches`` carrying a leading steps axis. ``opt_state`` is the
+    ``(params, opt_state, batches, rngs) -> (params, opt_state, losses,
+    metrics)`` with ``batches`` carrying a leading steps axis and
+    ``metrics`` the full per-step scalar families (``{name: [n_steps]}``,
+    same keys as the general path's ``total_loss``). ``opt_state`` is the
     :class:`multivae_tpu.train.train_step.FlatAdamState`; it is re-raveled
     into per-tensor Adam moments at the epoch boundary (cheap, once per
     launch). One device dispatch executes the whole epoch.
@@ -626,7 +667,7 @@ def make_fused_scan_train_step(cfg, model, optimizer=None,
         sp = split_params(flatten_params(params, model), dims)
         mu = split_params(flatten_params(unravel(opt_state.mu), model), dims)
         nu = split_params(flatten_params(unravel(opt_state.nu), model), dims)
-        sp, mu, nu, losses = fused_epoch(
+        sp, mu, nu, mgrid = fused_epoch(
             sp, mu, nu, opt_state.count, x1s, x2s, ejs, es1s, es2s, dims,
             consts, adam, learn_scale=learn_scale, interpret=interpret,
             matmul_bf16=matmul_bf16)
@@ -638,6 +679,8 @@ def make_fused_scan_train_step(cfg, model, optimizer=None,
             count=opt_state.count + n_steps,
             mu=ravel_pytree(mu_tree)[0],
             nu=ravel_pytree(nu_tree)[0])
-        return new_params, new_state, losses
+        metrics = {name: mgrid[:, j]
+                   for j, name in enumerate(metric_names(model))}
+        return new_params, new_state, mgrid[:, 0], metrics
 
     return jax.jit(scan_steps)

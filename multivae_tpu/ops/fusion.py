@@ -37,10 +37,19 @@ def poe(mus, logvars, eps: float = 1e-8):
 
 
 def alpha_poe(alpha, mus, logvars, eps: float = 1e-8):
-    """Weighted PoE used as the JSD dynamic prior (``mm_div.py:alpha_poe``)."""
+    """Weighted PoE used as the JSD dynamic prior (``mm_div.py:alpha_poe``).
+
+    Static (list/numpy) alphas are reshaped at trace time so the kernel sees
+    a rank-3 constant — Mosaic cannot lower a rank-1 -> rank-3 reshape
+    (``tpu.reshape vector<3xf32> -> vector<3x1x1xf32>``), which is what kept
+    jsd off the fused TPU path."""
     var = jnp.exp(logvars) + eps
     t = 1.0 / var
-    alpha = jnp.reshape(alpha, (-1,) + (1,) * (mus.ndim - 1))
+    shape = (-1,) + (1,) * (mus.ndim - 1)
+    if isinstance(alpha, jnp.ndarray):
+        alpha = jnp.reshape(alpha, shape)
+    else:
+        alpha = np.reshape(np.asarray(alpha, dtype=np.float32), shape)
     pd_var = 1.0 / jnp.sum(alpha * t, axis=0)
     pd_mu = pd_var * jnp.sum(alpha * mus * t, axis=0)
     return pd_mu, jnp.log(pd_var)
@@ -173,7 +182,10 @@ def alpha_jsd_divergence(mus, logvars, weights, normalization=None):
     Each expert's KL is taken against the alpha-PoE of all experts.
     Returns ``(group_div, klds, (prior_mu, prior_logvar))``.
     """
-    weights = jnp.asarray(weights)
+    if not isinstance(weights, jnp.ndarray):
+        # static alphas (cfg.alpha_modalities) stay host-side constants so
+        # the fused kernels never trace a rank-changing reshape
+        weights = np.asarray(weights, dtype=np.float32)
     prior_mu, prior_logvar = alpha_poe(weights, mus, logvars)
     # one stacked per-sample KL against the broadcast prior instead of a
     # per-component python loop of full-sum KLs (fewer ops; also the loop
@@ -202,6 +214,11 @@ def group_divergence_poe(mus, logvars, normalization=None):
 
 
 def reweight_weights(w):
-    """Normalize weights to sum to one (``utils/utils.py:reweight_weights``)."""
-    w = jnp.asarray(w)
-    return w / jnp.sum(w)
+    """Normalize weights to sum to one (``utils/utils.py:reweight_weights``).
+
+    Static (list/numpy) weights stay host-side numpy so downstream reshapes
+    happen at trace time (see :func:`alpha_poe`)."""
+    if isinstance(w, jnp.ndarray):
+        return w / jnp.sum(w)
+    w = np.asarray(w, dtype=np.float32)
+    return w / np.sum(w)

@@ -75,13 +75,16 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
             for m in mod_names}
         rng, sub = jax.random.split(rng)
         rngs = jax.random.split(sub, len(fused_batches))
-        params, opt_state, losses = fused_scan_fn(params, opt_state,
-                                                  stacked, rngs)
+        params, opt_state, losses, metrics = fused_scan_fn(
+            params, opt_state, stacked, rngs)
         n_steps += len(fused_batches)
         if logger is not None:
-            for i, loss in enumerate(jax.device_get(losses)):
-                if i % log_every == 0:
-                    logger.write_training_logs({"loss": loss})
+            # full scalar families come back from the kernel per step
+            # (utils/TBLogger.py:84-101 parity on the fused path)
+            metrics = jax.device_get(metrics)
+            for i in range(0, len(fused_batches), log_every):
+                logger.write_training_logs(
+                    {k: v[i] for k, v in metrics.items()})
 
     for iteration, data in enumerate(general_batches):
         rng, sub = jax.random.split(rng)

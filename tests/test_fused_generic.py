@@ -50,7 +50,8 @@ def test_matches_general_path(method):
                for k, v in batch.items()}
     rngs = jax.random.split(jax.random.PRNGKey(0), CH)
     epoch_fn = make_generic_fused_epoch(cfg, model, interpret=True)
-    p_e, s_e, losses_e = epoch_fn(params, opt_state, batches, rngs)
+    p_e, s_e, losses_e, metrics_e = epoch_fn(params, opt_state, batches,
+                                             rngs)
     assert np.isfinite(np.asarray(losses_e)).all()
     assert int(s_e.count) == CH
 
@@ -71,3 +72,24 @@ def test_unsupported_cases():
     cfg2, model2, batch2, _, _ = setup("moe")
     cfg2.dropout_rate = 0.5
     assert not supports_generic_fused(cfg2, model2, batch2)
+
+
+def test_generic_kernel_emits_metric_families():
+    """The autodiff-in-Pallas kernel returns the general path's full scalar
+    families; noise-independent ones match the general step exactly."""
+    from multivae_tpu.train.train_step import make_train_step
+
+    cfg, model, batch, params, opt_state = setup("moe")
+    batches = {k: jnp.asarray(np.asarray(v)[None]) for k, v in batch.items()}
+    rngs = jax.random.split(jax.random.PRNGKey(0), 1)
+    epoch_fn = make_generic_fused_epoch(cfg, model, interpret=True)
+    _, _, _, fused_m = epoch_fn(params, opt_state, batches, rngs)
+
+    general = make_train_step(cfg, model, donate=False)
+    _, _, _, gen_m = general(params, opt_state, batch, jax.random.PRNGKey(0))
+    assert set(fused_m) == set(gen_m)
+    for key in gen_m:
+        if key.startswith(("kld", "latent", "joint_divergence")):
+            np.testing.assert_allclose(float(fused_m[key][0]),
+                                       float(gen_m[key]), rtol=1e-4,
+                                       atol=1e-6, err_msg=key)

@@ -105,7 +105,7 @@ class TestPallasKernel:
         dims = fs.dims_from(cfg, B)
         consts = fs.FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
 
-        loss_p, grads_p = fs.fused_loss_and_grads(
+        loss_p, grads_p, _ = fs.fused_loss_and_grads(
             flat, batch["clinical"], batch["rois"], eps_j, eps_s1, eps_s2,
             dims, consts, learn_scale=learn_scale, interpret=True)
 
@@ -126,7 +126,7 @@ class TestPallasKernel:
         eps_j, eps_s1, eps_s2 = eps_draws(cfg)
         dims = fs.dims_from(cfg, B)
         consts = fs.FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
-        _, grads = fs.fused_loss_and_grads(
+        _, grads, _ = fs.fused_loss_and_grads(
             flat, batch["clinical"], batch["rois"], eps_j, eps_s1, eps_s2,
             dims, consts, learn_scale=False, interpret=True)
         np.testing.assert_allclose(grads["dec1_olv"], 0.0)
@@ -189,7 +189,8 @@ class TestEpochKernel:
         scan_fn = fs.make_fused_scan_train_step(cfg, model, optimizer,
                                                 interpret=True,
                                                 matmul_bf16=False)
-        p_e, s_e, losses_e = scan_fn(params, opt_state, batches, rngs)
+        p_e, s_e, losses_e, metrics_e = scan_fn(params, opt_state,
+                                                 batches, rngs)
 
         # sequential reference: single-step fused kernel + flat_adam
         step = fs.make_fused_train_step(cfg, model, optimizer,
@@ -208,3 +209,32 @@ class TestEpochKernel:
         assert int(s_e.count) == int(s_s.count) == n_steps
         np.testing.assert_allclose(s_e.mu, s_s.mu, rtol=1e-4, atol=2e-6)
         np.testing.assert_allclose(s_e.nu, s_s.nu, rtol=1e-4, atol=1e-8)
+
+
+class TestFusedMetricFamilies:
+    def test_epoch_kernel_emits_general_path_families(self):
+        """Fused-path logging parity (utils/TBLogger.py:84-101): the epoch
+        kernel returns the same scalar families as the general path, and
+        the noise-independent ones (klds, latent stats, joint divergence)
+        match the general step exactly."""
+        cfg = make_cfg(beta=1.0, beta_style=1.0, beta_content=1.0)
+        model, batch, params, opt_state = setup(cfg)
+        optimizer = make_optimizer(cfg)
+        batches = {k: jnp.stack([v]) for k, v in batch.items()}
+        rngs = jax.random.split(jax.random.PRNGKey(3), 1)
+        scan_fn = fs.make_fused_scan_train_step(cfg, model, optimizer,
+                                                interpret=True,
+                                                matmul_bf16=False)
+        _, _, _, fused_m = scan_fn(params, opt_state, batches, rngs)
+
+        general = make_train_step(cfg, model, donate=False)
+        _, _, _, gen_m = general(params, opt_state, batch,
+                                 jax.random.PRNGKey(3))
+        assert set(fused_m) == set(gen_m)
+        for key in gen_m:
+            if key.startswith(("kld", "latent", "joint_divergence")):
+                np.testing.assert_allclose(
+                    float(fused_m[key][0]), float(gen_m[key]), rtol=1e-4,
+                    atol=1e-6, err_msg=key)
+            else:
+                assert np.isfinite(float(fused_m[key][0])), key

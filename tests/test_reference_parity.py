@@ -1,0 +1,299 @@
+"""Parity against the ACTUAL reference implementation.
+
+Drives the real ``BaseMMVae``/``VAE``/``mm_div``/``run_epochs`` code from
+``/root/reference/experiments`` (torchvision stubbed — it is only imported
+for image helpers this model family never uses) with weights copied from the
+JAX model, and asserts forward / subset-posterior / divergence / total-loss
+parity for all four methods, on complete and missing-modality batches.
+
+Both sides are made deterministic by zeroing the reparameterization noise:
+the JAX model takes an explicit ``noise`` array; the torch model's
+``reparameterize`` is monkeypatched to return ``mu`` (``BaseMMVae.py:37-40``
+is ``mu + eps*std`` so zero eps is exactly that).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multivae_tpu.models import build_model, make_modalities
+from multivae_tpu.train import Config
+from multivae_tpu.train.losses import total_loss
+from multivae_tpu.train.train_step import init_params
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/experiments"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
+B = 24
+D1, D2 = 5, 17
+CD, S1, S2 = 6, 2, 3
+METHODS = ("joint_elbo", "moe", "poe", "jsd")
+
+
+def _stub_torchvision():
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tvu = types.ModuleType("torchvision.utils")
+    tvu.save_image = lambda *a, **k: None
+    tvu.make_grid = lambda *a, **k: None
+    tvt = types.ModuleType("torchvision.transforms")
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for fn in self.fns:
+                x = fn(x)
+            return x
+
+    tvt.Compose = _Compose
+    tvt.ToTensor = lambda: (lambda x: x)
+    tvm = types.ModuleType("torchvision.models")
+    # the vendored fid/inception.py subclasses these at import time; the
+    # classes are never instantiated in the parity tests
+    tvmi = types.ModuleType("torchvision.models.inception")
+    for cls_name in ("InceptionA", "InceptionC", "InceptionE",
+                     "InceptionAux", "BasicConv2d", "Inception3"):
+        setattr(tvmi, cls_name, type(cls_name, (torch.nn.Module,), {}))
+    tvm.inception = tvmi
+    tvm.inception_v3 = lambda *a, **k: None
+    tv.utils, tv.transforms, tv.models = tvu, tvt, tvm
+    for name, mod in (("torchvision", tv), ("torchvision.utils", tvu),
+                      ("torchvision.transforms", tvt),
+                      ("torchvision.models", tvm),
+                      ("torchvision.models.inception", tvmi)):
+        sys.modules[name] = mod
+    # iterstrat isn't in the image either; back it with this repo's
+    # reimplementation (data/stratify.py, same Sechidis et al. algorithm)
+    if "iterstrat" not in sys.modules:
+        from multivae_tpu.data import stratify as _strat
+        its = types.ModuleType("iterstrat")
+        its_ml = types.ModuleType("iterstrat.ml_stratifiers")
+        its_ml.MultilabelStratifiedShuffleSplit = \
+            _strat.MultilabelStratifiedShuffleSplit
+        its_ml.MultilabelStratifiedKFold = _strat.MultilabelStratifiedKFold
+        its.ml_stratifiers = its_ml
+        sys.modules["iterstrat"] = its
+        sys.modules["iterstrat.ml_stratifiers"] = its_ml
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Imported reference modules (flat package rooted at experiments/)."""
+    _stub_torchvision()
+    sys.path.insert(0, REF)
+    import importlib
+    mods = types.SimpleNamespace()
+    mods.VAE = importlib.import_module(
+        "multimodal_cohort.networks.VAE").VAE
+    nets = importlib.import_module("multimodal_cohort.networks.networks")
+    mods.Encoder, mods.Decoder = nets.Encoder, nets.Decoder
+    cohort = importlib.import_module("modalities.multimodal_cohort")
+    mods.Clinical, mods.Rois = cohort.Clinical, cohort.Rois
+    mods.run_epochs = importlib.import_module("run_epochs")
+    mods.utils = importlib.import_module("utils.utils")
+    yield mods
+    sys.path.remove(REF)
+
+
+def make_flags(method):
+    """The reference's flag surface for this config (workflow.py:98-145)."""
+    num_mods = 2
+    flags = types.SimpleNamespace(
+        method=method,
+        input_dim=[D1, D2], class_dim=CD, style_dim=[S1, S2],
+        num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
+        dropout_rate=0.0, factorized_representation=True,
+        learn_output_scale=True, learn_output_sample_scale=False,
+        initial_out_logvar=-3.0, likelihood="normal",
+        batch_size=B, beta=1.0, beta_style=1.0, beta_content=1.0,
+        num_models=1, num_mods=num_mods, poe_unimodal_elbos=True,
+        device="cpu",
+        modality_poe=method == "poe", modality_moe=method == "moe",
+        modality_jsd=method == "jsd", joint_elbo=method == "joint_elbo",
+        alpha_modalities=[1.0 / (num_mods + 1)] * (num_mods + 1),
+    )
+    return flags
+
+
+def make_cfg(method):
+    return Config(method=method, input_dim=[D1, D2], class_dim=CD,
+                  style_dim=[S1, S2], hidden_dim=256,
+                  num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
+                  learn_output_scale=True, likelihood="normal",
+                  batch_size=B).derive()
+
+
+def build_reference_model(ref, flags):
+    """Real VAE over the real Clinical/Rois modalities and subset powerset
+    (BaseExperiment.set_subsets key scheme)."""
+    from itertools import chain, combinations
+
+    clinical = ref.Clinical(D1, ref.Encoder, ref.Decoder, CD, S1, "normal")
+    rois = ref.Rois(D2, ref.Encoder, ref.Decoder, CD, S2, "normal")
+    modalities = {"clinical": clinical, "rois": rois}
+    xs = list(modalities)
+    subsets = {}
+    for mod_names in chain.from_iterable(
+            combinations(xs, n) for n in range(len(xs) + 1)):
+        subsets["_".join(sorted(mod_names))] = [
+            modalities[m] for m in sorted(mod_names)]
+    model = ref.VAE(flags, modalities, subsets)
+    model.eval()
+    # deterministic: z = mu (zero-eps reparameterization)
+    model.reparameterize = lambda mu, logvar: mu
+    return model, modalities
+
+
+def copy_weights(params, model_t):
+    """JAX param tree -> the reference model's torch parameters."""
+    def t(x):
+        return torch.from_numpy(np.array(x))
+
+    with torch.no_grad():
+        for i, name in enumerate(["clinical", "rois"]):
+            s = [S1, S2][i]
+            enc = model_t.encoders[name]
+            p = params[f"enc_{name}"]
+            enc.shared_encoder[0].weight.copy_(t(p["hidden_0"]["kernel"]).T)
+            enc.shared_encoder[0].bias.copy_(t(p["hidden_0"]["bias"]))
+            heads_w = t(p["heads"]["kernel"])
+            heads_b = t(p["heads"]["bias"])
+            enc.class_mu.weight.copy_(heads_w[:, :CD].T)
+            enc.class_mu.bias.copy_(heads_b[:CD])
+            enc.class_logvar.weight.copy_(heads_w[:, CD:2 * CD].T)
+            enc.class_logvar.bias.copy_(heads_b[CD:2 * CD])
+            enc.style_mu.weight.copy_(heads_w[:, 2 * CD:2 * CD + s].T)
+            enc.style_mu.bias.copy_(heads_b[2 * CD:2 * CD + s])
+            enc.style_logvar.weight.copy_(heads_w[:, 2 * CD + s:].T)
+            enc.style_logvar.bias.copy_(heads_b[2 * CD + s:])
+            dec = model_t.decoders[name]
+            d = params[f"dec_{name}"]
+            dec.out_mu.weight.copy_(t(d["out_mu"]["kernel"]).T)
+            dec.out_mu.bias.copy_(t(d["out_mu"]["bias"]))
+            dec.logvar.copy_(t(d["out_logvar"]))
+
+
+@pytest.fixture(scope="module")
+def batch_np():
+    rng = np.random.default_rng(7)
+    return {"clinical": rng.normal(size=(B, D1)).astype(np.float32),
+            "rois": rng.normal(size=(B, D2)).astype(np.float32)}
+
+
+def run_both(ref, method, batch_np, present=("clinical", "rois")):
+    cfg = make_cfg(method)
+    model_j = build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
+                                               cfg.likelihood))
+    batch_full = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params = init_params(cfg, model_j, batch_full, seed=3)
+    batch_j = {k: v for k, v in batch_full.items() if k in present}
+    noise = jnp.zeros((B, model_j.noise_width(batch_j)), jnp.float32)
+    out_j = model_j.apply({"params": params}, batch_j, noise=noise)
+
+    flags = make_flags(method)
+    model_t, modalities = build_reference_model(ref, flags)
+    copy_weights(params, model_t)
+    batch_t = {k: torch.from_numpy(batch_np[k]) for k in present}
+    with torch.no_grad():
+        out_t = model_t(batch_t)
+    return cfg, model_j, params, batch_j, out_j, flags, model_t, \
+        modalities, batch_t, out_t
+
+
+def assert_close(a, b, rtol=2e-4, atol=1e-5, msg=""):
+    np.testing.assert_allclose(np.asarray(a), b.detach().numpy(),
+                               rtol=rtol, atol=atol, err_msg=msg)
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("method", METHODS)
+    def test_complete_batch(self, ref, batch_np, method):
+        (_, _, _, _, out_j, _, _, _, _, out_t) = run_both(
+            ref, method, batch_np)
+        # joint posterior (deterministic mixture partition)
+        assert_close(out_j["latents"]["joint"][0],
+                     out_t["latents"]["joint"][0], msg="joint mu")
+        assert_close(out_j["latents"]["joint"][1],
+                     out_t["latents"]["joint"][1], msg="joint logvar")
+        # mixture rows entering the joint divergence
+        assert_close(out_j["latents"]["mus"], out_t["latents"]["mus"],
+                     msg="mus")
+        assert_close(out_j["latents"]["logvars"],
+                     out_t["latents"]["logvars"], msg="logvars")
+        # subset posteriors, by key
+        for key, (mu_t, lv_t) in out_t["latents"]["subsets"].items():
+            mu_j, lv_j = out_j["latents"]["subsets"][key]
+            assert_close(mu_j, mu_t, msg=f"subset {key} mu")
+            assert_close(lv_j, lv_t, msg=f"subset {key} logvar")
+        # reconstructions (torch rec is a Normal distribution object)
+        for name in ("clinical", "rois"):
+            loc_j, scale_j = out_j["rec"][name]
+            assert_close(loc_j, out_t["rec"][name].loc, msg=f"{name} loc")
+            assert_close(scale_j, out_t["rec"][name].scale,
+                         msg=f"{name} scale")
+        # joint divergence
+        assert_close(out_j["joint_divergence"], out_t["joint_divergence"],
+                     rtol=1e-4, msg="joint_divergence")
+
+    @pytest.mark.parametrize("method", ["joint_elbo", "moe"])
+    def test_missing_modality_batch(self, ref, batch_np, method):
+        (_, _, _, _, out_j, _, _, _, _, out_t) = run_both(
+            ref, method, batch_np, present=("clinical",))
+        assert_close(out_j["latents"]["joint"][0],
+                     out_t["latents"]["joint"][0], msg="joint mu")
+        assert_close(out_j["joint_divergence"], out_t["joint_divergence"],
+                     rtol=1e-4, msg="joint_divergence")
+        loc_j, _ = out_j["rec"]["clinical"]
+        assert_close(loc_j, out_t["rec"]["clinical"].loc, msg="clinical loc")
+        assert "rois" not in out_t["rec"]
+
+
+class TestLossParity:
+    @pytest.mark.parametrize("method", METHODS)
+    def test_total_loss_matches_basic_routine_epoch(self, ref, batch_np,
+                                                    method):
+        """The REAL loss composition (run_epochs.basic_routine_epoch +
+        utils.calc_elbo) against total_loss, zero-noise on both sides."""
+        (cfg, model_j, params, batch_j, out_j, flags, model_t, modalities,
+         batch_t, _) = run_both(ref, method, batch_np)
+
+        noise_uni = None
+        if method == "poe":
+            noise_uni = {
+                name: jnp.zeros((B, model_j.noise_width({name: None})),
+                                jnp.float32)
+                for name in ("clinical", "rois")}
+        loss_j, metrics_j = total_loss(cfg, model_j, {"params": params},
+                                       batch_j, out_j, None,
+                                       noise_uni=noise_uni)
+
+        exp = types.SimpleNamespace(
+            flags=flags, models=model_t, modalities=modalities,
+            rec_weights={m: 1.0 for m in modalities},
+            style_weights={m: flags.beta_style for m in modalities})
+        with torch.no_grad():
+            out_ref = ref.run_epochs.basic_routine_epoch(
+                exp, 0, [dict(batch_t)])
+        loss_t = float(out_ref["total_loss"])
+        np.testing.assert_allclose(float(loss_j), loss_t, rtol=2e-4,
+                                   err_msg=f"{method} total loss")
+        # per-modality log-prob and per-subset KLD families
+        for name, val in out_ref["log_probs"].items():
+            np.testing.assert_allclose(
+                float(metrics_j[f"log_prob/{name}"]), float(val),
+                rtol=2e-4, err_msg=f"log_prob {name}")
+        for key, val in out_ref["klds"].items():
+            np.testing.assert_allclose(
+                float(metrics_j[f"kld/{key}"]), float(val), rtol=2e-4,
+                atol=1e-6, err_msg=f"kld {key}")
