@@ -86,6 +86,9 @@ class Config:
     # over a model axis ("auto" / True / False; "auto" enables it whenever
     # it beats the sequential fused path — see trainer.resolve_ensemble)
     precision: str = "float32"      # or "bfloat16" for the compute path
+    donate_buffers: bool = True     # donate params/opt buffers in the train
+    # step (verified stable through the axon relay; flip off if the
+    # platform regresses to sporadic INVALID_ARGUMENT on donated buffers)
     fused_training: bool = True     # single-Pallas-kernel train step + epoch
     # scan on supported configs (ops/fused_step.py); per-step metric logging
     # then reduces to the loss (full metric families still logged at test)

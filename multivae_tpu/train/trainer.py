@@ -308,9 +308,11 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
         # single-device kernel is bypassed in this mode)
         from ..parallel import data_mesh
         mesh = data_mesh(cfg.data_parallel)
-    step_fn = make_train_step(cfg, exp.model, mesh=mesh)
+    step_fn = make_train_step(cfg, exp.model, mesh=mesh,
+                              donate=cfg.donate_buffers)
     eval_fn = make_eval_step(cfg, exp.model)
-    step_fn_remainder = (make_train_step(cfg, exp.model)
+    step_fn_remainder = (make_train_step(cfg, exp.model,
+                                         donate=cfg.donate_buffers)
                          if mesh is not None else None)
     fused_scan_fn = None
     if cfg.fused_training and mesh is None:
@@ -380,7 +382,7 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
     cfg = exp.cfg
     mesh = ensemble_mesh(cfg)
     ens_scan_fn = make_ensemble_scan_train_step(cfg, exp.model, mesh=mesh)
-    step_fn = make_train_step(cfg, exp.model)
+    step_fn = make_train_step(cfg, exp.model, donate=cfg.donate_buffers)
     eval_fn = make_eval_step(cfg, exp.model)
     loggers = [MetricLogger(model_log_dir(cfg, m),
                             use_tensorboard=use_tensorboard)

@@ -213,11 +213,17 @@ def rsa_exp(dataset, datasetdir, outdir, run, n_validation=1,
 
 
 def hist_plot_exp(datasets, datasetdirs, scores, outdir):
-    """Score KDE across cohorts (``workflow.py:823-868``)."""
+    """Per-cohort score-distribution plot (``workflow.py:823-868``).
+
+    Same artifact contract (one ``hist.png`` comparing the named score's
+    distribution across cohorts) rendered as filled per-cohort gaussian-KDE
+    curves computed with scipy — no seaborn dependency."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    import seaborn as sns
+    from scipy import stats
+
+    from .utils.colors import get_color_list
 
     print_title("PLOT HISTOGRAM")
     if not isinstance(datasets, (list, tuple)):
@@ -226,26 +232,42 @@ def hist_plot_exp(datasets, datasetdirs, scores, outdir):
         datasetdirs = datasetdirs.split(",")
     if not isinstance(scores, (list, tuple)):
         scores = [scores]
-    assert len(datasets) == len(datasetdirs), "Invalid input list sizes."
-    assert len(datasets) == len(scores), "Invalid input list sizes."
-    data = {"score": [], "cohort": []}
+    if not len(datasets) == len(datasetdirs) == len(scores):
+        raise ValueError("datasets, datasetdirs and scores must align")
+
+    cohort_values = {}
     for name, path, score in zip(datasets, datasetdirs, scores):
-        clinical_data = np.load(os.path.join(path, "clinical_data.npy"),
-                                allow_pickle=True).T
-        clinical_names = np.load(os.path.join(path, "clinical_names.npy"),
-                                 allow_pickle=True)
-        score_idx = np.argwhere(clinical_names == score)[0, 0]
-        data["score"].extend(clinical_data[score_idx].tolist())
-        data["cohort"].extend([name] * clinical_data.shape[1])
-    plt.figure(figsize=(10, 3 / 4 * 10))
-    sns_plot = sns.kdeplot(
-        data=data, x="score", hue="cohort", fill=True, common_norm=False,
-        linewidth=0, multiple="stack")
-    ax = plt.gca()
-    ax.spines.right.set_visible(False)
-    ax.spines.top.set_visible(False)
+        values = np.load(os.path.join(path, "clinical_data.npy"),
+                         allow_pickle=True)
+        names = np.load(os.path.join(path, "clinical_names.npy"),
+                        allow_pickle=True).tolist()
+        col = values[:, names.index(score)].astype(float)
+        cohort_values[name] = col[np.isfinite(col)]
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    palette = get_color_list(len(cohort_values))
+    for color, (name, vals) in zip(palette, cohort_values.items()):
+        if len(np.unique(vals)) > 1:
+            kde = stats.gaussian_kde(vals)
+            lo, hi = vals.min(), vals.max()
+            pad = 0.1 * (hi - lo + 1e-9)
+            grid = np.linspace(lo - pad, hi + pad, 256)
+            density = kde(grid)
+        else:  # degenerate cohort: single spike
+            grid = np.array([vals[0] - 0.5, vals[0], vals[0] + 0.5])
+            density = np.array([0.0, 1.0, 0.0])
+        ax.fill_between(grid, density, color=(*color[:3], 0.45),
+                        label=name)
+        ax.plot(grid, density, color=color, lw=1.5)
+    ax.set_xlabel("score")
+    ax.set_ylabel("density")
+    ax.legend(title="cohort", frameon=False)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
     hist_file = os.path.join(outdir, "hist.png")
-    sns_plot.get_figure().savefig(hist_file)
+    fig.tight_layout()
+    fig.savefig(hist_file)
+    plt.close(fig)
     print_result(f"histogram: {hist_file}")
     return hist_file
 

@@ -16,6 +16,8 @@ from multivae_tpu.analysis.avatars import (
 )
 from multivae_tpu.data import make_synthetic_cohort
 
+pytestmark = pytest.mark.slow  # end-to-end integration (train + analyses)
+
 N_SCORES, N_ROIS = 4, 12
 DAA_KW = dict(n_validation=3, n_samples=20, n_subjects=15, M=16,
               trust_level=0.7, seed=11, chunk=8)

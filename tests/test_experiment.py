@@ -9,6 +9,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # end-to-end integration (train + analyses)
+
 from multivae_tpu.data import make_synthetic_cohort
 from multivae_tpu.train.checkpoint import find_checkpoint
 from multivae_tpu.train.config import Config

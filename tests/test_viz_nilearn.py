@@ -1,0 +1,88 @@
+"""The nilearn surface-rendering branch of viz/plotting.py.
+
+nilearn is optional (reference: ``plotting.py:155-261`` renders on
+fsaverage). When it is installed the real path runs; in this image it is
+not, so the branch is exercised with injected fakes that verify the
+atlas-label lookup, ROI-map construction and the surface-render call
+pattern — the degraded fallback is no longer the only tested branch.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+from multivae_tpu.viz import plotting as vp
+
+
+@pytest.fixture()
+def fake_nilearn(monkeypatch):
+    calls = []
+    atlas = {
+        "labels": [b"bg", b"G_front_and_sup", b"S_calc"],
+        "map_left": np.array([0, 1, 2, 1, 0]),
+        "map_right": np.array([2, 1, 0]),
+    }
+    fsavg = {f"{t}_{h}": np.zeros(3)
+             for t in ("infl", "pial", "sulc") for h in ("left", "right")}
+    fake_ds = types.SimpleNamespace(
+        fetch_atlas_surf_destrieux=lambda: atlas,
+        fetch_surf_fsaverage=lambda: fsavg)
+
+    def record(name):
+        def fn(*args, **kwargs):
+            calls.append((name, kwargs.get("hemi"), kwargs.get("view")))
+        return fn
+
+    fake_pl = types.SimpleNamespace(
+        plot_surf_roi=record("roi"),
+        plot_surf_stat_map=record("stat"))
+    monkeypatch.setattr(vp, "nl_datasets", fake_ds, raising=False)
+    monkeypatch.setattr(vp, "nl_plotting", fake_pl, raising=False)
+    monkeypatch.setattr(vp, "HAS_NILEARN", True)
+    return calls
+
+
+class TestNilearnBranch:
+    def test_plot_areas_renders_four_views(self, fake_nilearn, tmp_path):
+        out = tmp_path / "areas.png"
+        # destrieux label "G_front_and_sup" -> feature "G_front&sup_lh"
+        fig = vp.plot_areas(["G_front&sup_lh", "S_calc_rh"],
+                            np.array([1.0, 2.0]), save_path=str(out))
+        assert out.exists()
+        assert fig is not None
+        # 2 hemispheres x (lateral, medial)
+        assert sorted(fake_nilearn) == sorted(
+            [("roi", "left", "lateral"), ("roi", "left", "medial"),
+             ("roi", "right", "lateral"), ("roi", "right", "medial")])
+
+    def test_plot_areas_unknown_roi_raises(self, fake_nilearn, tmp_path):
+        with pytest.raises(ValueError):
+            vp.plot_areas(["nonexistent_lh"], np.array([1.0]),
+                          save_path=str(tmp_path / "x.png"))
+
+    def test_plot_surf_mosaic_roi_maps(self, fake_nilearn, tmp_path):
+        out = tmp_path / "mosaic.png"
+        textures = [np.zeros(5), np.zeros(3)]
+        vp.plot_surf_mosaic([textures], ["score_0"], str(out), label=True)
+        assert out.exists()
+        assert len(fake_nilearn) == 4
+        assert all(name == "roi" for name, _, _ in fake_nilearn)
+
+    def test_plot_surf_mosaic_stat_maps(self, fake_nilearn, tmp_path):
+        out = tmp_path / "mosaic_stat.png"
+        textures = [np.zeros(5), np.zeros(3)]
+        vp.plot_surf_mosaic([textures], ["score_0"], str(out), label=False)
+        assert out.exists()
+        assert len(fake_nilearn) == 4
+        assert all(name == "stat" for name, _, _ in fake_nilearn)
+
+
+@pytest.mark.skipif(not vp.HAS_NILEARN,
+                    reason="nilearn not installed in this image")
+class TestRealNilearn:  # pragma: no cover - runs only where nilearn exists
+    def test_plot_areas_real(self, tmp_path):
+        out = tmp_path / "areas_real.png"
+        vp.plot_areas(["G_precentral_lh"], np.array([1.0]),
+                      save_path=str(out))
+        assert out.exists()
