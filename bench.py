@@ -28,7 +28,8 @@ STYLE = (3, 20)
 HIDDEN = 256
 WARMUP = 5
 STEPS = 300
-AVATAR_SAMPLES = 30  # per-score decode sweep size for the avatars metric
+AVATAR_SAMPLES = 150  # per-score decode sweep size for the avatars metric
+# (matches the reference's published DAA config, README.md:84 n_samples=150)
 
 
 # --------------------------------------------------------------------------
@@ -66,7 +67,11 @@ def bench_jax():
     from multivae_tpu.ops import fused_step as fs
     from multivae_tpu.train.train_step import make_optimizer
 
-    chunk = 200
+    # one dispatch executes `chunk` steps; chaining `reps` dispatches before
+    # the single forcing fetch amortizes the relay round-trip (~10 ms per
+    # dispatch, ~25 ms per fetch) — the kernel itself runs ~7 us/step
+    chunk = 800
+    reps = 8
     scan_fn = fs.make_fused_scan_train_step(cfg, model, make_optimizer(cfg))
     host_batch = {k: np.asarray(v) for k, v in batch.items()}
     batches = {k: jnp.asarray(np.stack([v] * chunk))
@@ -83,7 +88,6 @@ def bench_jax():
     # the relay multiplexes a shared TPU pool, so wall-clock is contention-
     # noisy; report the best of several measurement windows
     best = 0.0
-    reps = max(STEPS // chunk, 3)
     for window in range(4):
         t0 = time.perf_counter()
         for i in range(reps):

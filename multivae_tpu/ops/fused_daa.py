@@ -22,6 +22,7 @@ from __future__ import annotations
 from functools import partial
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,19 +40,24 @@ ENC_NAMES = ("Wh", "bh", "Wcmu", "bcmu", "Wclv", "bclv",
 DEC_NAMES = ("Wds", "Wdc", "bd", "olv")
 
 
-def _avatar_kernel(dims: FusedDims, sample_latents: bool, *refs):
-    """Grid over (sample, score) cells; decode ROI means per cell."""
-    # inputs: cdata [1,B,d1] stream, eps [1,B,cd+s2] stream,
-    #         enc1 params (10), dec2 params (4), rois posteriors
-    #         (cmu2, clv2, smu2, slv2) whole
-    # outputs: avatars [1,B,d2] stream
+def _avatar_kernel(dims: FusedDims, sample_latents: bool, pack: int, *refs):
+    """Grid over blocks of ``pack`` (sample, score) cells; decode ROI means.
+
+    Packing widens every matmul from ``B`` to ``pack * B`` rows so the MXU
+    sees usefully sized tiles (B is typically 25-50 subjects). The per-cell
+    math is row-wise, so packed results are bit-identical to ``pack=1``;
+    the mixture-partition masks repeat per cell (static constants)."""
+    # inputs: cdata [1,pack*B,d1] stream, eps [1,pack*B,cd+s2] stream,
+    #         enc1 params (10), dec2 params (4), rois posteriors tiled to
+    #         pack*B rows (cmu2, clv2, smu2, slv2) whole
+    # outputs: avatars [1,pack*B,d2] stream
     (cdata_ref, eps_ref) = refs[:2]
     e1 = {n: refs[2 + i] for i, n in enumerate(ENC_NAMES)}
     d2p = {n: refs[2 + 10 + i] for i, n in enumerate(DEC_NAMES)}
     cmu2_ref, clv2_ref, smu2_ref, slv2_ref = refs[16:20]
     out_ref = refs[20]
 
-    cd, s2 = dims.cd, dims.s2
+    cd = dims.cd
     k1, k2 = _mixture_bounds(dims.b)
 
     def dot(a, bb):
@@ -72,8 +78,11 @@ def _avatar_kernel(dims: FusedDims, sample_latents: bool, *refs):
 
     smu2 = smu2_ref[:]
     if sample_latents:
-        # joint via deterministic mixture selection (inference sample=True)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (dims.b, 1), 0)
+        # joint via deterministic mixture selection (inference sample=True);
+        # the row partition repeats within each packed cell, so the mask is
+        # an iota modulo the per-cell batch size
+        rows = jax.lax.broadcasted_iota(jnp.int32, (pack * dims.b, 1), 0)
+        rows = jax.lax.rem(rows, dims.b)
         m_a = (rows < k1).astype(jnp.float32)
         m_b = jnp.logical_and(rows >= k1, rows < k2).astype(jnp.float32)
         m_c = (rows >= k2).astype(jnp.float32)
@@ -109,7 +118,8 @@ def build_cell_grid(clinical, scores_values):
 
 
 def sweep_cells(sp, posteriors, cdata, eps, dims: FusedDims,
-                sample_latents: bool, interpret: bool = False):
+                sample_latents: bool, interpret: bool = False,
+                cells_per_block: int | None = None):
     """Run the avatar grid kernel over prepared cells.
 
     ``sp``: split params; ``posteriors``: cell-invariant rois posteriors
@@ -117,18 +127,41 @@ def sweep_cells(sp, posteriors, cdata, eps, dims: FusedDims,
     clinical; ``eps [n_cells, B, cd+s2]`` reparam noise. Returns decoded
     ROI locs ``[n_cells, B, d2]``. This is the per-device body of the
     multi-chip sharded sweep (cells shard over the mesh; params and
-    posteriors replicate)."""
+    posteriors replicate).
+
+    ``cells_per_block`` packs that many cells into each grid step (default:
+    enough for ~512 matmul rows) — bit-identical results, bigger MXU tiles.
+    """
     n_cells, b = cdata.shape[0], cdata.shape[1]
+    pack = cells_per_block or max(1, 512 // b)
+    # VMEM guard: streamed blocks (cdata, eps, out, double-buffered) plus
+    # the tiled posteriors must stay well under the ~16 MB scoped limit
+    row_bytes = 4 * (dims.d1 + dims.cd + dims.s2 + 2 * dims.d2
+                     + 2 * dims.cd + 2 * dims.s2)
+    max_rows = max(b, int(6e6) // max(row_bytes, 1))
+    pack = min(pack, max_rows // b)
+    pack = max(1, min(pack, n_cells))
+    pad = (-n_cells) % pack
+    if pad:
+        cdata = jnp.concatenate([cdata, cdata[:pad]])
+        eps = jnp.concatenate([eps, eps[:pad]])
+    n_blocks = (n_cells + pad) // pack
+    cdata = cdata.reshape(n_blocks, pack * b, dims.d1)
+    eps = eps.reshape(n_blocks, pack * b, -1)
+    posteriors = tuple(jnp.tile(x, (pack, 1)) for x in posteriors)
+
     e1 = [sp[f"enc1_{n}"] for n in ENC_NAMES]
     d2p = [sp[f"dec2_{n}"] for n in DEC_NAMES]
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
-    stream_in = lambda d: pl.BlockSpec((1, b, d), lambda i: (i, 0, 0))
+    stream_in = lambda d: pl.BlockSpec((1, pack * b, d),
+                                       lambda i: (i, 0, 0))
 
-    kernel = partial(_avatar_kernel, dims, sample_latents)
-    return pl.pallas_call(
+    kernel = partial(_avatar_kernel, dims, sample_latents, pack)
+    out = pl.pallas_call(
         kernel,
-        grid=(n_cells,),
-        out_shape=jax.ShapeDtypeStruct((n_cells, b, dims.d2), jnp.float32),
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, pack * b, dims.d2),
+                                       jnp.float32),
         in_specs=([stream_in(dims.d1), stream_in(dims.cd + dims.s2)]
                   + [whole] * (10 + 4 + 4)),
         out_specs=stream_in(dims.d2),
@@ -136,6 +169,7 @@ def sweep_cells(sp, posteriors, cdata, eps, dims: FusedDims,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(cdata, eps, *e1, *d2p, *posteriors)
+    return out.reshape(n_blocks * pack, b, dims.d2)[:n_cells]
 
 
 def rois_posteriors(model, params, rois):
