@@ -35,7 +35,6 @@ from ..utils.colors import print_result, print_subtitle, print_text, print_title
 from .stats import (
     fixed_regression_batch,
     hierarchical_regression_batch,
-    make_regression,
 )
 
 SAMPLING_STRATEGIES = ("linear", "uniform", "gaussian", "likelihood")
@@ -485,20 +484,9 @@ def compute_significativity(resdir: str, cfg, clinical_names, rois_names,
                 elif reg_method == "fixed":
                     diff = (y - rois_rec[:, None, :]).reshape(-1, n_rois)
                     pvals, cfs = fixed_regression_batch(x.reshape(-1), diff)
-                else:  # mixed — host-side REML per (score, roi)
-                    pvals = np.zeros(n_rois)
-                    cfs = np.zeros(n_rois)
-                    pid = np.repeat(metadata[:, participant_id_idx, None],
-                                    n_samples, axis=1).flatten()
-                    for roi_idx in range(n_rois):
-                        df = pd.DataFrame({
-                            "participant_id": pid,
-                            "sampled_score": x.flatten(),
-                            "roi_avatar": y[:, :, roi_idx].flatten()})
-                        p, c, _ = make_regression(
-                            df, "sampled_score", "roi_avatar",
-                            groups_name="participant_id", method="mixed")
-                        pvals[roi_idx], cfs[roi_idx] = p, c
+                else:  # mixed — REML, all rois profiled together
+                    from .stats import mixed_regression_batch
+                    pvals, cfs = mixed_regression_batch(x, y)
                 pvalues[model_idx, val_idx, score_idx] = pvals
                 coefs[model_idx, val_idx, score_idx] = cfs
 

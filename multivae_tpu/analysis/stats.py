@@ -14,7 +14,10 @@ regression designs are implemented natively:
 For the DAA hot loop (≈62k hierarchical fits in the reference) the
 closed-form slope/t-test algebra is also exposed as batched einsum kernels
 (:func:`hierarchical_regression_batch`, :func:`fixed_regression_batch`) that
-evaluate every (score, ROI) cell at once on the accelerator.
+evaluate every (score, ROI) cell at once on the accelerator; the mixed
+design gets :func:`mixed_regression_batch`, which profiles the REML
+variance ratio for every ROI simultaneously (the 2x2 normal matrix is
+ROI-independent, so only the X'V⁻¹y / RSS terms carry an R axis).
 """
 
 from __future__ import annotations
@@ -219,6 +222,96 @@ def hierarchical_regression_batch(x: np.ndarray, y: np.ndarray):
         t = np.where(se > 0, coefs / se, np.inf)
     pvals = 2.0 * stats.t.sf(np.abs(t), g - 1)
     return pvals, coefs, betas
+
+
+def mixed_regression_batch(x: np.ndarray, y: np.ndarray,
+                           n_grid: int = 61, n_refine: int = 3):
+    """Vectorized random-intercept REML across all ROIs at once.
+
+    ``x``: ``[G, N]`` per-subject regressor; ``y``: ``[G, N, R]`` responses
+    — the DAA mixed design (``stat_utils.py:make_regression('mixed')``,
+    MixedLM with a random intercept per subject), balanced: every subject
+    carries the same ``N`` observations. Matches :func:`_mixed_reml` per
+    ROI to numerical tolerance but runs all ``R`` fits together: for a
+    candidate variance ratio ``lam`` the 2x2 normal matrix
+    ``X'V^{-1}X`` and its log-determinant are ROI-independent, so only the
+    ``X'V^{-1}y`` / RSS terms carry an R axis. ``lam`` is profiled per ROI
+    on a log grid with ``n_refine`` local refinements.
+
+    Returns ``(pvalues [R], coefs [R])`` for the slope term.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    g, n_per = x.shape
+    r = y.shape[2]
+    n = g * n_per
+    p = 2
+
+    # per-group sufficient statistics (shared across lam candidates)
+    ones = np.ones_like(x)
+    Xg = np.stack([ones, x], axis=2)                      # [G, N, 2]
+    si = Xg.sum(axis=1)                                   # [G, 2]
+    xtx_g = np.einsum("gnk,gnl->gkl", Xg, Xg)             # [G, 2, 2]
+    xtx = xtx_g.sum(axis=0)                               # [2, 2]
+    ssi = np.einsum("gk,gl->kl", si, si)                  # [2, 2]
+    xty_g = np.einsum("gnk,gnr->gkr", Xg, y)              # [G, 2, R]
+    xty = xty_g.sum(axis=0)                               # [2, R]
+    ysum = y.sum(axis=1)                                  # [G, R]
+    s_ysum = np.einsum("gk,gr->kr", si, ysum)             # [2, R]
+    yy = np.einsum("gnr,gnr->r", y, y)                    # [R]
+
+    def reml(lam, idx=None):
+        """Objective for ROIs ``idx`` (all when None) at a shared lam,
+        plus their (beta, sigma2, inv(xtwx))."""
+        sl = slice(None) if idx is None else idx
+        w = lam / (1.0 + n_per * lam)
+        xtwx = xtx - w * ssi                              # [2, 2]
+        xtwy = xty[:, sl] - w * s_ysum[:, sl]             # [2, r']
+        det = xtwx[0, 0] * xtwx[1, 1] - xtwx[0, 1] * xtwx[1, 0]
+        inv = np.array([[xtwx[1, 1], -xtwx[0, 1]],
+                        [-xtwx[1, 0], xtwx[0, 0]]]) / det
+        beta = inv @ xtwy                                 # [2, r']
+        # rss = Σ_i r_i'r_i - w (r_i.sum)^2, expanded in the sufficient
+        # statistics so no per-group pass is needed
+        rtr = (yy[sl] - 2.0 * np.einsum("kr,kr->r", beta, xty[:, sl])
+               + np.einsum("kr,kl,lr->r", beta, xtx, beta))
+        rsum = ysum[:, sl] - si @ beta                    # [G, r']
+        rss = rtr - w * np.einsum("gr,gr->r", rsum, rsum)
+        sigma2 = np.maximum(rss, 1e-300) / max(n - p, 1)
+        logdet = g * np.log1p(n_per * lam)
+        obj = -0.5 * ((n - p) * np.log(sigma2) + logdet + np.log(abs(det))
+                      + (n - p))
+        return obj, beta, sigma2, inv
+
+    # coarse log-lambda grid shared by every ROI...
+    ts = np.linspace(-10.0, 10.0, n_grid)
+    objs = np.stack([reml(np.exp(t))[0] for t in ts])     # [L, R]
+    t_centers = ts[np.argmax(objs, axis=0)]               # [R]
+    delta = (ts[1] - ts[0])
+    # ...then local refinement, ROIs grouped by their current optimum so
+    # each evaluation is restricted to the ROIs that need it
+    for _ in range(n_refine):
+        new_centers = t_centers.copy()
+        for c in np.unique(t_centers):
+            idx = np.where(t_centers == c)[0]
+            local = np.linspace(c - delta, c + delta, 9)
+            vals = np.stack([reml(np.exp(t), idx)[0] for t in local])
+            new_centers[idx] = local[np.argmax(vals, axis=0)]
+        t_centers = new_centers
+        delta = delta / 4.0
+
+    pvals = np.empty(r)
+    coefs = np.empty(r)
+    for c in np.unique(t_centers):
+        idx = np.where(t_centers == c)[0]
+        _, beta, sigma2, inv = reml(np.exp(c), idx)
+        se = np.sqrt(np.clip(sigma2 * inv[1, 1], 0, None))
+        b = beta[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(se > 0, b / se, np.inf)
+        pvals[idx] = 2.0 * stats.norm.sf(np.abs(z))
+        coefs[idx] = b
+    return pvals, coefs
 
 
 def fixed_regression_batch(x: np.ndarray, y: np.ndarray):

@@ -165,3 +165,47 @@ class TestRsaPrimitives:
     def test_cmat2triu(self):
         m = np.arange(9).reshape(3, 3)
         np.testing.assert_array_equal(cmat2triu(m), [1, 2, 5])
+
+
+class TestMixedRegressionBatch:
+    def test_matches_scalar_reml_per_roi(self):
+        """Batched REML (all ROIs profiled together) == the scalar
+        random-intercept fit, coef and p-value, per ROI."""
+        import pandas as pd
+        from multivae_tpu.analysis.stats import (
+            make_regression, mixed_regression_batch)
+
+        rng = np.random.default_rng(3)
+        g, n, r = 20, 12, 15
+        x = rng.normal(size=(g, n))
+        u = rng.normal(size=(g, 1, r)) * 0.7
+        beta_true = np.where(np.arange(r) < 3, 0.6, 0.0)
+        y = (0.2 + x[:, :, None] * beta_true + u
+             + rng.normal(size=(g, n, r)) * 0.5)
+        pv_b, cf_b = mixed_regression_batch(x, y)
+
+        pid = np.repeat(np.arange(g)[:, None], n, axis=1).flatten()
+        for roi in range(r):
+            df = pd.DataFrame({
+                "participant_id": pid, "sampled_score": x.flatten(),
+                "roi_avatar": y[:, :, roi].flatten()})
+            p, c, _ = make_regression(df, "sampled_score", "roi_avatar",
+                                      groups_name="participant_id",
+                                      method="mixed")
+            np.testing.assert_allclose(cf_b[roi], c, rtol=2e-3, atol=1e-5)
+            np.testing.assert_allclose(
+                np.log10(max(pv_b[roi], 1e-300)),
+                np.log10(max(p, 1e-300)), atol=0.05)
+
+    def test_detects_signal(self):
+        from multivae_tpu.analysis.stats import mixed_regression_batch
+
+        rng = np.random.default_rng(5)
+        g, n, r = 25, 15, 8
+        x = rng.normal(size=(g, n))
+        y = (x[:, :, None] * np.where(np.arange(r) < 2, 1.0, 0.0)
+             + rng.normal(size=(g, 1, r)) + rng.normal(size=(g, n, r)) * 0.3)
+        pv, cf = mixed_regression_batch(x, y)
+        assert (pv[:2] < 1e-10).all()
+        assert (pv[2:] > 1e-4).all()
+        np.testing.assert_allclose(cf[:2], 1.0, atol=0.1)
