@@ -205,7 +205,9 @@ def avatar_sweep_sharded(model, params, data, scores_values,
         from ..ops.fused_daa import (
             dims_from, flatten_params, rois_posteriors, split_params,
             sweep_cells)
-        interpret = jax.default_backend() == "cpu"
+        # interpret on CPU meshes; the mesh's devices decide (the default
+        # backend may differ, e.g. a virtual CPU mesh next to a TPU chip)
+        interpret = mesh.devices.flat[0].platform == "cpu"
         dims = dims_from(cfg, b)
         sp = split_params(flatten_params(params, model), dims)
         posteriors = rois_posteriors(model, params, rois)

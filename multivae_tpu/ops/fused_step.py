@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -634,7 +634,7 @@ def fused_epoch(sp, mu, nu, count, x1s, x2s, ejs, es1s, es2s,
 
 def make_fused_scan_train_step(cfg, model, optimizer=None,
                                interpret: bool = False,
-                               matmul_bf16: bool = True):
+                               matmul_bf16: Optional[bool] = None):
     """Epoch trainer on the grid kernel.
 
     ``(params, opt_state, batches, rngs) -> (params, opt_state, losses,
@@ -651,6 +651,11 @@ def make_fused_scan_train_step(cfg, model, optimizer=None,
     names = [m.name for m in model.modalities]
     learn_scale = bool(cfg.learn_output_scale)
     adam = (cfg.initial_learning_rate, cfg.beta_1, cfg.beta_2, 1e-8)
+    if matmul_bf16 is None:
+        # cfg.precision governs the kernel matmul dtype; at these shapes
+        # (256-row matmuls) f32 measured slightly FASTER than bf16 on v5e —
+        # the cast VPU cycles outweigh the MXU gain — and it is exact
+        matmul_bf16 = getattr(cfg, "precision", "float32") == "bfloat16"
 
     def scan_steps(params, opt_state, batches, rngs):
         x1s = batches[names[0]]

@@ -85,7 +85,9 @@ class Config:
     ensemble_parallel: object = "auto"  # train ensemble members together
     # over a model axis ("auto" / True / False; "auto" enables it whenever
     # it beats the sequential fused path — see trainer.resolve_ensemble)
-    precision: str = "float32"      # or "bfloat16" for the compute path
+    precision: str = "float32"      # fused-kernel matmul dtype; "bfloat16"
+    # casts matmul operands (f32 accumulation stays) — measured slightly
+    # SLOWER than f32 at this model's shapes, so f32 is the default
     donate_buffers: bool = True     # donate params/opt buffers in the train
     # step (verified stable through the axon relay; flip off if the
     # platform regresses to sporadic INVALID_ARGUMENT on donated buffers)

@@ -28,7 +28,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               out_scale_per_subject=False, method="joint_elbo",
               grad_scaling=False, use_tensorboard=True, log_every=1,
               data_parallel=1, ensemble_parallel="auto",
-              fused_training=True):
+              fused_training=True, profile_dir=None):
     """Train the model (``workflow.py:41-182``); same parameter surface.
 
     Creates the run directory ``<dataset>_<timestamp>``, trains all ensemble
@@ -39,7 +39,8 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     ``data_parallel`` shards the batch over that many devices;
     ``ensemble_parallel`` trains ensemble members simultaneously over a
     model axis (``auto`` enables it whenever ``num_models > 1``);
-    ``fused_training`` enables the single-kernel Pallas epoch path.
+    ``fused_training`` enables the single-kernel Pallas epoch path;
+    ``profile_dir`` captures a ``jax.profiler`` trace of the first epoch.
     """
     print_title(f"TRAIN: {dataset}")
     cfg = Config(
@@ -66,7 +67,8 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
 
     exp = MultimodalExperiment(cfg)
     exp.set_optimizers()
-    run_epochs(exp, use_tensorboard=use_tensorboard, log_every=log_every)
+    run_epochs(exp, use_tensorboard=use_tensorboard, log_every=log_every,
+               profile_dir=profile_dir)
 
     # run registry (workflow.py:155-182)
     runs_path = os.path.join(cfg.dir_experiment, "runs.tsv")
