@@ -315,20 +315,30 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                                          donate=cfg.donate_buffers)
                          if mesh is not None else None)
     fused_scan_fn = None
-    if cfg.fused_training and mesh is None:
-        from ..ops import fused_generic as _fg
-        from ..ops import fused_step as _fs
-        example = {m.name: None for m in exp.model.modalities}
-        interpret = jax.default_backend() == "cpu"
-        if _fs.supports_fused(cfg, exp.model, example):
-            # hand-derived flagship kernel (fastest)
-            from .train_step import make_optimizer
-            fused_scan_fn = _fs.make_fused_scan_train_step(
-                cfg, exp.model, make_optimizer(cfg), interpret=interpret)
-        elif _fg.supports_generic_fused(cfg, exp.model, example):
-            # autodiff-in-Pallas epoch kernel (any method/architecture)
-            fused_scan_fn = _fg.make_generic_fused_epoch(
-                cfg, exp.model, interpret=interpret)
+    if cfg.fused_training:
+        if mesh is None:
+            from ..ops import fused_generic as _fg
+            from ..ops import fused_step as _fs
+            example = {m.name: None for m in exp.model.modalities}
+            interpret = jax.default_backend() == "cpu"
+            if _fs.supports_fused(cfg, exp.model, example):
+                # hand-derived flagship kernel (fastest)
+                from .train_step import make_optimizer
+                fused_scan_fn = _fs.make_fused_scan_train_step(
+                    cfg, exp.model, make_optimizer(cfg),
+                    interpret=interpret)
+            elif _fg.supports_generic_fused(cfg, exp.model, example):
+                # autodiff-in-Pallas epoch kernel (any method/architecture)
+                fused_scan_fn = _fg.make_generic_fused_epoch(
+                    cfg, exp.model, interpret=interpret)
+        if fused_scan_fn is None and (
+                mesh is None or cfg.batch_size % cfg.data_parallel == 0):
+            # universal fallback: XLA lax.scan over the epoch's complete
+            # batches — one device dispatch per epoch for EVERY config
+            # (dropout, deep decoders, per-sample scales, data-parallel),
+            # instead of one ~2 ms dispatch per step
+            from .train_step import make_scan_train_step
+            fused_scan_fn = make_scan_train_step(cfg, exp.model, mesh=mesh)
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),

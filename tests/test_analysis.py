@@ -262,3 +262,69 @@ class TestShardedDaaRouting:
         pa = np.load(os.path.join(r_seq, "pvalues.npy"))
         pb = np.load(os.path.join(r_par, "pvalues.npy"))
         np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-8)
+
+
+class TestEnsembleAnalyses:
+    """The n_models>1 branches of DAA / ANOVA / RSA / plots."""
+
+    @pytest.fixture(scope="class")
+    def ens_pipeline(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ens_pipe")
+        datasetdir = str(root / "data")
+        outdir = str(root / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=120, n_scores=4,
+                              n_rois=12, missing_rate=0.1, seed=9,
+                              signal_strength=2.0)
+        run = wf.train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[4, 12], latent_dim=6, style_dim=[2, 3],
+            num_models=2, num_epochs=30, batch_size=32,
+            method="joint_elbo", learning_rate=0.003,
+            use_tensorboard=False, log_every=10)
+        kw = dict(n_validation=2, n_samples=15, n_subjects=12, M=8,
+                  trust_level=0.7, seed=21, vote_prop=0.5, chunk=8)
+        resdir = wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
+                            outdir=outdir, run=run, **kw)
+        return datasetdir, outdir, run, resdir, kw
+
+    def test_daa_artifact_shapes_carry_model_axis(self, ens_pipeline):
+        _, _, _, resdir, kw = ens_pipeline
+        da = np.load(os.path.join(resdir, "rois_digital_avatars.npy"),
+                     mmap_mode="r")
+        assert da.shape == (2, 2, 12, 4, 15, 12)
+        pv = np.load(os.path.join(resdir, "pvalues.npy"))
+        assert pv.shape == (2, 2, 4, 12)
+        assert np.isfinite(pv).all() and (pv >= 0).all() and (pv <= 1).all()
+        cf = np.load(os.path.join(resdir, "coefs.npy"))
+        assert cf.shape == (2, 2, 4, 12)
+
+    def test_anova_on_ensemble_betas(self, ens_pipeline):
+        datasetdir, outdir, run, _, kw = ens_pipeline
+        out = wf.anova_exp(dataset="synthetic", datasetdir=datasetdir,
+                           outdir=outdir, run=run,
+                           n_validation=kw["n_validation"],
+                           n_samples=kw["n_samples"],
+                           n_subjects=kw["n_subjects"], M=kw["M"],
+                           trust_level=kw["trust_level"], seed=kw["seed"],
+                           vote_prop=kw["vote_prop"])
+        assert out is not None
+
+    def test_rsa_on_ensemble(self, ens_pipeline):
+        datasetdir, outdir, run, _, _ = ens_pipeline
+        rsadir = wf.rsa_exp(dataset="synthetic", datasetdir=datasetdir,
+                            outdir=outdir, run=run, n_validation=1,
+                            n_subjects=20, seed=7)
+        stats_file = os.path.join(outdir, run, "rsa", "kendalltau_stats.npy")
+        assert os.path.isfile(stats_file)
+        kt = np.load(stats_file, allow_pickle=True)
+        assert np.isfinite(np.asarray(kt, dtype=float)).any()
+
+    def test_daa_plots_on_ensemble(self, ens_pipeline):
+        datasetdir, outdir, run, resdir, _ = ens_pipeline
+        wf.daa_plot_most_connected(dataset="synthetic",
+                                   datasetdir=datasetdir, outdir=outdir,
+                                   run=run, trust_level=0.5, vote_prop=0.5)
+        # either plots exist or there were no significant associations —
+        # both are valid outcomes on a 30-epoch model; the call must not
+        # crash on the ensemble coef layout

@@ -201,3 +201,40 @@ class TestEnsembleParallel:
                             jax.tree_util.tree_leaves(e_seq.params[m])):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=2e-4, atol=1e-5)
+
+
+class TestScanFallback:
+    @pytest.mark.slow
+    def test_unsupported_config_uses_scan_epoch(self, tmp_path):
+        """Configs outside the Pallas kernels' envelope (here: dropout)
+        train through the lax.scan epoch fallback — full metric families
+        logged, loss decreases."""
+        from multivae_tpu.ops import fused_generic as _fg
+        from multivae_tpu.ops import fused_step as _fs
+        from multivae_tpu.train.trainer import run_epochs
+        from multivae_tpu.utils.filehandling import create_dir_structure
+
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=80, n_scores=4,
+                              n_rois=16, missing_rate=0.1, seed=17)
+        cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                     dir_experiment=outdir, input_dim=[4, 16], class_dim=4,
+                     style_dim=[2, 2], end_epoch=5, batch_size=32,
+                     method="joint_elbo", dropout_rate=0.3).derive()
+        create_dir_structure(cfg)
+        exp = MultimodalExperiment(cfg)
+        example = {m.name: None for m in exp.model.modalities}
+        assert not _fs.supports_fused(cfg, exp.model, example)
+        assert not _fg.supports_generic_fused(cfg, exp.model, example)
+        exp.set_optimizers()
+        run_epochs(exp, use_tensorboard=False, progress=False)
+        df = pd.read_csv(os.path.join(cfg.dir_logs, "metrics.csv"))
+        tr = df[df.phase == "train"]
+        losses = tr[tr.metric == "loss"]["value"]
+        assert np.isfinite(losses).all()
+        assert losses.iloc[-1] < losses.iloc[0]
+        # scan fallback logs the full families, like the kernels
+        assert "joint_divergence" in set(tr.metric)
+        assert any(m.startswith("kld/") for m in tr.metric)
