@@ -28,7 +28,8 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               out_scale_per_subject=False, method="joint_elbo",
               grad_scaling=False, use_tensorboard=True, log_every=1,
               data_parallel=1, ensemble_parallel="auto",
-              fused_training=True, profile_dir=None):
+              fused_training=True, profile_dir=None,
+              calc_nll=False, calc_prd=False):
     """Train the model (``workflow.py:41-182``); same parameter surface.
 
     Creates the run directory ``<dataset>_<timestamp>``, trains all ensemble
@@ -62,6 +63,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
         data_parallel=int(data_parallel),
         ensemble_parallel=ensemble_parallel,
         fused_training=bool(fused_training),
+        calc_nll=bool(calc_nll), calc_prd=bool(calc_prd),
     ).derive()
     create_dir_structure(cfg)
 
