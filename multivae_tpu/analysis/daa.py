@@ -64,25 +64,37 @@ def full_batch(dataset, idxs):
     return {k: jnp.asarray(v) for k, v in data.items()}, metadata
 
 
+_analytic_jit_cache: Dict[int, tuple] = {}
+
+
 def analytic_reconstruction_stats(model, params, data):
     """Exact expectation of the reference's M-pass averaging.
 
     For linear decoders with a per-feature output scale the Monte-Carlo mean
     over reparameterized passes (``workflow.py:388-398``) has a closed form:
     the decode of the latent means (joint via the deterministic mixture
-    partition). One forward pass replaces M=1000.
+    partition). One forward pass replaces M=1000. Jitted per model (eager
+    execution would pay one device round-trip per op through the relay).
     """
-    latents = model.apply({"params": params}, data, method="inference")
-    joint_mu = latents["joint"][0]
-    outs = []
-    for mod in model.modalities:
-        s_mu, _ = latents["modalities"][mod.name + "_style"]
-        loc, scale = model.apply(
-            {"params": params}, s_mu, joint_mu,
-            method=lambda m, s, c, _n=mod.name: m.decoders[_n](s, c))
-        outs.append((loc, scale))
-    (c_loc, c_scale), (r_loc, _) = outs
-    return c_loc, c_scale, r_loc
+    cached = _analytic_jit_cache.get(id(model))
+    if cached is None or cached[0] is not model:
+        def _run(params, data):
+            latents = model.apply({"params": params}, data,
+                                  method="inference")
+            joint_mu = latents["joint"][0]
+            outs = []
+            for mod in model.modalities:
+                s_mu, _ = latents["modalities"][mod.name + "_style"]
+                loc, scale = model.apply(
+                    {"params": params}, s_mu, joint_mu,
+                    method=lambda m, s, c, _n=mod.name: m.decoders[_n](s, c))
+                outs.append((loc, scale))
+            (c_loc, c_scale), (r_loc, _) = outs
+            return c_loc, c_scale, r_loc
+
+        cached = (model, jax.jit(_run))
+        _analytic_jit_cache[id(model)] = cached
+    return cached[1](params, data)
 
 
 def reconstruction_stats(model, params, data, M: int, rng,
@@ -98,22 +110,42 @@ def reconstruction_stats(model, params, data, M: int, rng,
     matched M); ``exact=True`` forces the closed form.
     """
     if exact is True:
+        if cfg is not None:
+            from ..ops.fused_step import supports_fused
+            if not supports_fused(cfg, model, data):
+                # E[decoder(z)] != decoder(E[z]) once the decoder is
+                # nonlinear — the closed form is only valid on the linear
+                # flagship family
+                raise ValueError(
+                    "exact_reconstruction=True requires a linear-decoder "
+                    "(fused-supported) configuration; use the Monte-Carlo "
+                    "estimator (exact_reconstruction=False) instead")
         return analytic_reconstruction_stats(model, params, data)
     if exact != False and cfg is not None:  # noqa: E712  ("auto" path)
         from ..ops.fused_step import supports_fused
         if supports_fused(cfg, model, data):
             return analytic_reconstruction_stats(model, params, data)
 
-    def one(key):
-        out = model.apply({"params": params}, data, sample_latents=True,
-                          rngs={"sample": key})
-        return (out["rec"]["clinical"][0], out["rec"]["clinical"][1],
-                out["rec"]["rois"][0])
+    cache_key = (id(model), "mc", int(M), int(chunk))
+    cached = _analytic_jit_cache.get(cache_key)
+    if cached is None or cached[0] is not model:
+        def _run(params, data, rng):
+            def one(key):
+                out = model.apply({"params": params}, data,
+                                  sample_latents=True,
+                                  rngs={"sample": key})
+                return (out["rec"]["clinical"][0],
+                        out["rec"]["clinical"][1],
+                        out["rec"]["rois"][0])
 
-    keys = jax.random.split(rng, M)
-    locs, scales, rois = jax.lax.map(one, keys,
-                                     batch_size=min(chunk, M))
-    return locs.mean(0), scales.mean(0), rois.mean(0)
+            keys = jax.random.split(rng, M)
+            locs, scales, rois = jax.lax.map(one, keys,
+                                             batch_size=min(chunk, M))
+            return locs.mean(0), scales.mean(0), rois.mean(0)
+
+        cached = (model, jax.jit(_run))
+        _analytic_jit_cache[cache_key] = cached
+    return cached[1](params, data, rng)
 
 
 def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
@@ -137,31 +169,42 @@ def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
             return fused_avatar_sweep(model, params, data, scores_values,
                                       sample_latents, rng, cfg,
                                       interpret=interpret)
-    n_samples, b, n_scores = scores_values.shape
-    clinical = data["clinical"]
-    eye = jnp.eye(n_scores, dtype=clinical.dtype)
-    scores_values = jnp.asarray(scores_values)
+    cache_key = (id(model), "sweep", bool(sample_latents), int(chunk))
+    cached = _analytic_jit_cache.get(cache_key)
+    if cached is None or cached[0] is not model:
+        names = [m.name for m in model.modalities]
 
-    def one(args):
-        cell, key = args
-        sample_idx = cell // n_scores
-        score_idx = cell % n_scores
-        col = scores_values[sample_idx, :, score_idx]  # [B]
-        mask = eye[score_idx]  # [n_scores]
-        cdata = clinical * (1.0 - mask)[None, :] + col[:, None] * mask[None, :]
-        out = model.apply({"params": params},
-                          {"clinical": cdata, "rois": data["rois"]},
-                          sample_latents=sample_latents,
-                          rngs={"sample": key})
-        return out["rec"]["rois"][0]  # [B, n_rois]
+        def _run(params, clinical, other, scores_values, rng):
+            n_samples, b, n_scores = scores_values.shape
+            eye = jnp.eye(n_scores, dtype=clinical.dtype)
 
-    cells = jnp.arange(n_samples * n_scores)
-    keys = jax.random.split(rng, n_samples * n_scores)
-    rois = jax.lax.map(one, (cells, keys),
-                       batch_size=min(chunk, n_samples * n_scores))
-    # [n_samples*n_scores, B, R] -> [B, n_scores, n_samples, R]
-    rois = rois.reshape(n_samples, n_scores, b, -1)
-    return jnp.transpose(rois, (2, 1, 0, 3))
+            def one(args):
+                cell, key = args
+                sample_idx = cell // n_scores
+                score_idx = cell % n_scores
+                col = scores_values[sample_idx, :, score_idx]  # [B]
+                mask = eye[score_idx]  # [n_scores]
+                cdata = (clinical * (1.0 - mask)[None, :]
+                         + col[:, None] * mask[None, :])
+                out = model.apply({"params": params},
+                                  {names[0]: cdata, names[1]: other},
+                                  sample_latents=sample_latents,
+                                  rngs={"sample": key})
+                return out["rec"][names[1]][0]  # [B, n_rois]
+
+            cells = jnp.arange(n_samples * n_scores)
+            keys = jax.random.split(rng, n_samples * n_scores)
+            rois = jax.lax.map(one, (cells, keys),
+                               batch_size=min(chunk, n_samples * n_scores))
+            # [n_samples*n_scores, B, R] -> [B, n_scores, n_samples, R]
+            rois = rois.reshape(n_samples, n_scores, b, -1)
+            return jnp.transpose(rois, (2, 1, 0, 3))
+
+        cached = (model, jax.jit(_run))
+        _analytic_jit_cache[cache_key] = cached
+    return cached[1](params, jnp.asarray(data["clinical"]),
+                     jnp.asarray(data["rois"]),
+                     jnp.asarray(scores_values), rng)
 
 
 def avatar_sweep_sharded(model, params, data, scores_values,

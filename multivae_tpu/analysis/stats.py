@@ -14,7 +14,9 @@ regression designs are implemented natively:
 For the DAA hot loop (≈62k hierarchical fits in the reference) the
 closed-form slope/t-test algebra is also exposed as batched einsum kernels
 (:func:`hierarchical_regression_batch`, :func:`fixed_regression_batch`) that
-evaluate every (score, ROI) cell at once on the accelerator; the mixed
+evaluate every (score, ROI) cell at once. They run host-side: the inputs
+already live in host memory (the avatars memmap) and the math is a few
+MFLOP, so a device round-trip would cost more than the compute; the mixed
 design gets :func:`mixed_regression_batch`, which profiles the REML
 variance ratio for every ROI simultaneously (the 2x2 normal matrix is
 ROI-independent, so only the X'V⁻¹y / RSS terms carry an R axis).
@@ -195,14 +197,17 @@ def per_group_slopes(x: np.ndarray, y: np.ndarray):
     ``x``: ``[G, N]`` regressor per group; ``y``: ``[G, N, R]`` responses.
     Returns slopes ``[G, R]`` — ``cov(x, y) / var(x)`` per group, identical to
     each group's OLS slope with intercept.
+
+    Runs on host numpy: the einsum is a few MFLOP while the avatars already
+    live in host memory (memmap) — shipping them to the device would cost
+    far more in transfer than the math (especially through the relay).
     """
-    import jax.numpy as jnp
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
     xc = x - x.mean(axis=1, keepdims=True)
     yc = y - y.mean(axis=1, keepdims=True)
-    sxx = jnp.sum(xc * xc, axis=1)  # [G]
-    sxy = jnp.einsum("gn,gnr->gr", xc, yc)
+    sxx = np.sum(xc * xc, axis=1)  # [G]
+    sxy = np.einsum("gn,gnr->gr", xc, yc)
     return sxy / sxx[:, None]
 
 
@@ -320,19 +325,16 @@ def fixed_regression_batch(x: np.ndarray, y: np.ndarray):
     ``x``: ``[N]``; ``y``: ``[N, R]``. Matches ``method='fixed'`` (dof n-2).
     Returns ``(pvalues [R], coefs [R])``.
     """
-    import jax.numpy as jnp
-    xj = jnp.asarray(x)
-    yj = jnp.asarray(y)
-    n = xj.shape[0]
-    xc = xj - xj.mean()
-    yc = yj - yj.mean(axis=0, keepdims=True)
-    sxx = jnp.sum(xc * xc)
-    slope = jnp.einsum("n,nr->r", xc, yc) / sxx
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.shape[0]
+    xc = x - x.mean()
+    yc = y - y.mean(axis=0, keepdims=True)
+    sxx = np.sum(xc * xc)
+    slope = np.einsum("n,nr->r", xc, yc) / sxx
     resid = yc - xc[:, None] * slope[None, :]
-    sigma2 = jnp.sum(resid * resid, axis=0) / (n - 2)
-    se = jnp.sqrt(sigma2 / sxx)
-    slope = np.asarray(slope, dtype=np.float64)
-    se = np.asarray(se, dtype=np.float64)
+    sigma2 = np.sum(resid * resid, axis=0) / (n - 2)
+    se = np.sqrt(sigma2 / sxx)
     with np.errstate(divide="ignore", invalid="ignore"):
         t = np.where(se > 0, slope / se, np.inf)
     pvals = 2.0 * stats.t.sf(np.abs(t), n - 2)

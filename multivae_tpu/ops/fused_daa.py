@@ -181,27 +181,41 @@ def rois_posteriors(model, params, rois):
     return cmu2, clv2, smu2, slv2
 
 
+_sweep_jit_cache = {}
+
+
 def fused_avatar_sweep(model, params, data, scores_values,
                        sample_latents: bool, rng, cfg,
                        interpret: bool = False):
     """Pallas-gridded avatar sweep; drop-in result layout for
     :func:`multivae_tpu.analysis.daa.avatar_sweep`:
-    ``[B, n_scores, n_samples, n_rois]``."""
-    names = [m.name for m in model.modalities]
-    clinical = jnp.asarray(data[names[0]])
-    rois = jnp.asarray(data[names[1]])
-    scores_values = jnp.asarray(scores_values)
-    n_samples, b, n_scores = scores_values.shape
-    dims = dims_from(cfg, b)
-    sp = split_params(flatten_params(params, model), dims)
+    ``[B, n_scores, n_samples, n_rois]``.
 
-    cdata = build_cell_grid(clinical, scores_values)
-    n_cells = n_samples * n_scores
-    posteriors = rois_posteriors(model, params, rois)
-    eps = jax.random.normal(rng, (n_cells, b, dims.cd + dims.s2),
-                            jnp.float32)
-    out = sweep_cells(sp, posteriors, cdata, eps, dims, sample_latents,
-                      interpret=interpret)
-    # [n_cells, B, R] = [n_samples*n_scores, B, R]
-    out = out.reshape(n_samples, n_scores, b, dims.d2)
-    return jnp.transpose(out, (2, 1, 0, 3))
+    The whole sweep (cell-grid build, posterior encode, noise draw, kernel,
+    relayout) is jitted per (model, flags) so repeated validation rounds
+    cost one device dispatch each — eager execution would pay a relay
+    round-trip per op."""
+    names = [m.name for m in model.modalities]
+    key = (id(model), id(cfg), bool(sample_latents), bool(interpret))
+    cached = _sweep_jit_cache.get(key)
+    if cached is None or cached[0] is not model:
+        def _run(params, clinical, rois, scores_values, rng):
+            n_samples, b, n_scores = scores_values.shape
+            dims = dims_from(cfg, b)
+            sp = split_params(flatten_params(params, model), dims)
+            cdata = build_cell_grid(clinical, scores_values)
+            n_cells = n_samples * n_scores
+            posteriors = rois_posteriors(model, params, rois)
+            eps = jax.random.normal(rng, (n_cells, b, dims.cd + dims.s2),
+                                    jnp.float32)
+            out = sweep_cells(sp, posteriors, cdata, eps, dims,
+                              sample_latents, interpret=interpret)
+            # [n_cells, B, R] = [n_samples*n_scores, B, R]
+            out = out.reshape(n_samples, n_scores, b, dims.d2)
+            return jnp.transpose(out, (2, 1, 0, 3))
+
+        cached = (model, jax.jit(_run))
+        _sweep_jit_cache[key] = cached
+    return cached[1](params, jnp.asarray(data[names[0]]),
+                     jnp.asarray(data[names[1]]),
+                     jnp.asarray(scores_values), rng)

@@ -501,14 +501,17 @@ def fused_loss_and_grads(p: Dict[str, jnp.ndarray], x1, x2, eps_j, eps_s1,
 
 
 def make_fused_train_step(cfg, model, optimizer, interpret: bool = False,
-                          donate: bool = False):
+                          donate: bool = False,
+                          matmul_bf16: Optional[bool] = None):
     """jitted single-call fused step; drop-in for ``make_train_step`` on
-    supported configs (metrics reduced to the loss)."""
+    supported configs (full metric families emitted)."""
     import optax
 
     consts = FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
     names = [m.name for m in model.modalities]
     learn_scale = bool(cfg.learn_output_scale)
+    if matmul_bf16 is None:
+        matmul_bf16 = getattr(cfg, "precision", "float32") == "bfloat16"
 
     def step(params, opt_state, batch, rng):
         x1 = batch[names[0]]
@@ -521,7 +524,8 @@ def make_fused_train_step(cfg, model, optimizer, interpret: bool = False,
             flat, x1, x2, eps[:, :dims.cd],
             eps[:, dims.cd:dims.cd + dims.s1],
             eps[:, dims.cd + dims.s1:], dims, consts,
-            learn_scale=learn_scale, interpret=interpret)
+            learn_scale=learn_scale, interpret=interpret,
+            matmul_bf16=matmul_bf16)
         grads = unflatten_grads(grads_named, params, model)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

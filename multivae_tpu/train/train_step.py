@@ -69,19 +69,11 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     return flat_adam(cfg.initial_learning_rate, b1=cfg.beta_1, b2=cfg.beta_2)
 
 
-def make_train_step(cfg, model, optimizer: Optional[optax.GradientTransformation] = None,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
-    """Build the jitted ``(params, opt_state, batch, rng) -> ...`` step.
+def _member_step(cfg, model, optimizer):
+    """The one canonical forward+grad+Adam step body, shared by the plain,
+    scanned, ensemble and ensemble-scan builders below."""
 
-    When ``mesh`` is given, batch inputs are sharded over its ``data`` axis
-    and params/opt_state are replicated; XLA inserts the gradient psum.
-    ``donate`` reuses the params/opt buffers in place; verified stable on
-    the axon-relayed TPU (300-step donated stress run clean) and
-    overridable via ``cfg.donate_buffers`` from the trainer.
-    """
-    optimizer = optimizer or make_optimizer(cfg)
-
-    def step(params, opt_state, batch, rng):
+    def one(params, opt_state, batch, rng):
         rng_model, rng_loss, rng_drop = jax.random.split(rng, 3)
 
         def loss_fn(p):
@@ -94,9 +86,24 @@ def make_train_step(cfg, model, optimizer: Optional[optax.GradientTransformation
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss, metrics
+        return (optax.apply_updates(params, updates), new_opt_state, loss,
+                metrics)
 
+    return one
+
+
+def make_train_step(cfg, model, optimizer: Optional[optax.GradientTransformation] = None,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build the jitted ``(params, opt_state, batch, rng) -> ...`` step.
+
+    When ``mesh`` is given, batch inputs are sharded over its ``data`` axis
+    and params/opt_state are replicated; XLA inserts the gradient psum.
+    ``donate`` reuses the params/opt buffers in place; verified stable on
+    the axon-relayed TPU (300-step donated stress run clean) and
+    overridable via ``cfg.donate_buffers`` from the trainer.
+    """
+    optimizer = optimizer or make_optimizer(cfg)
+    step = _member_step(cfg, model, optimizer)
     donate_argnums = (0, 1) if donate else ()
     if mesh is None:
         return jax.jit(step, donate_argnums=donate_argnums)
@@ -123,24 +130,14 @@ def make_scan_train_step(cfg, model, optimizer=None,
     stacked along the steps axis (so per-step logging is preserved).
     """
     optimizer = optimizer or make_optimizer(cfg)
+    step = _member_step(cfg, model, optimizer)
 
     def one(carry, inp):
         params, opt_state = carry
         batch, rng = inp
-        rng_model, rng_loss, rng_drop = jax.random.split(rng, 3)
-
-        def loss_fn(p):
-            variables = {"params": p}
-            out = model.apply(variables, batch, train=True,
-                              rngs={"sample": rng_model, "dropout": rng_drop})
-            return total_loss(cfg, model, variables, batch, out, rng_loss,
-                              train=True)
-
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return (new_params, new_opt_state), (loss, metrics)
+        params, opt_state, loss, metrics = step(params, opt_state, batch,
+                                                rng)
+        return (params, opt_state), (loss, metrics)
 
     def scan_steps(params, opt_state, batches, rngs):
         (params, opt_state), (losses, metrics) = jax.lax.scan(
@@ -189,23 +186,7 @@ def make_ensemble_train_step(cfg, model, optimizer=None,
     ``[n_models]`` axis; each member consumes its own fold's batch.
     """
     optimizer = optimizer or make_optimizer(cfg)
-
-    def one(params, opt_state, batch, rng):
-        rng_model, rng_loss, rng_drop = jax.random.split(rng, 3)
-
-        def loss_fn(p):
-            variables = {"params": p}
-            out = model.apply(variables, batch, train=True,
-                              rngs={"sample": rng_model, "dropout": rng_drop})
-            return total_loss(cfg, model, variables, batch, out, rng_loss,
-                              train=True)
-
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_opt_state, loss, metrics
-
-    vstep = jax.vmap(one)
+    vstep = jax.vmap(_member_step(cfg, model, optimizer))
     if mesh is None:
         return jax.jit(vstep, donate_argnums=(0, 1))
     ens = NamedSharding(mesh, P("model"))
@@ -236,24 +217,7 @@ def make_ensemble_scan_train_step(cfg, model, optimizer=None,
     each member's batch rows over ``data``.
     """
     optimizer = optimizer or make_optimizer(cfg)
-
-    def one(params, opt_state, batch, rng):
-        rng_model, rng_loss, rng_drop = jax.random.split(rng, 3)
-
-        def loss_fn(p):
-            variables = {"params": p}
-            out = model.apply(variables, batch, train=True,
-                              rngs={"sample": rng_model, "dropout": rng_drop})
-            return total_loss(cfg, model, variables, batch, out, rng_loss,
-                              train=True)
-
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_opt_state, loss,
-                metrics)
-
-    vstep = jax.vmap(one)
+    vstep = jax.vmap(_member_step(cfg, model, optimizer))
 
     def scan_steps(params, opt_state, batches, rngs):
         def body(carry, inp):

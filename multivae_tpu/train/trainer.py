@@ -111,17 +111,17 @@ def resolve_ensemble(cfg, model) -> bool:
     """Whether to train ensemble members simultaneously over a model axis.
 
     ``cfg.ensemble_parallel`` may be True/False or ``"auto"``: auto enables
-    the parallel path whenever more than one device is present, and on a
-    single chip whenever the sequential path would NOT get the fused Pallas
-    epoch kernel anyway (the fused kernel is the faster single-chip option
-    for the flagship config)."""
+    the parallel path when members can actually spread over a (model, data)
+    mesh, and otherwise (single chip, or indivisible device/model counts)
+    only when the sequential path would NOT get the fused Pallas epoch
+    kernel anyway (the fused kernel is the faster per-member option)."""
     if cfg.num_models <= 1:
         return False
     if cfg.ensemble_parallel is True:
         return True
     if cfg.ensemble_parallel is False:
         return False
-    if len(jax.devices()) > 1:
+    if ensemble_mesh(cfg) is not None:
         return True
     if cfg.fused_training:
         from ..ops import fused_generic as _fg

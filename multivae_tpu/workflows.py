@@ -39,7 +39,9 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     Parallelism knobs (new capabilities; the reference is single-device):
     ``data_parallel`` shards the batch over that many devices;
     ``ensemble_parallel`` trains ensemble members simultaneously over a
-    model axis (``auto`` enables it whenever ``num_models > 1``);
+    model axis (``auto`` enables it when members can spread over a
+    ``(model, data)`` device mesh, or when the sequential path would not
+    get a fused Pallas kernel anyway; True/False force it);
     ``fused_training`` enables the single-kernel Pallas epoch path;
     ``profile_dir`` captures a ``jax.profiler`` trace of the first epoch.
     """
@@ -246,11 +248,18 @@ def hist_plot_exp(datasets, datasetdirs, scores, outdir):
         names = np.load(os.path.join(path, "clinical_names.npy"),
                         allow_pickle=True).tolist()
         col = values[:, names.index(score)].astype(float)
-        cohort_values[name] = col[np.isfinite(col)]
+        # repeated cohort names pool their values into one curve
+        cohort_values.setdefault(name, []).append(col[np.isfinite(col)])
+    cohort_values = {name: np.concatenate(cols)
+                     for name, cols in cohort_values.items()}
 
     fig, ax = plt.subplots(figsize=(8, 5))
     palette = get_color_list(len(cohort_values))
     for color, (name, vals) in zip(palette, cohort_values.items()):
+        if len(vals) == 0:
+            print_text(f"cohort {name}: no finite values for its score; "
+                       "skipped")
+            continue
         if len(np.unique(vals)) > 1:
             kde = stats.gaussian_kde(vals)
             lo, hi = vals.min(), vals.max()

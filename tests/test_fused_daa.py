@@ -190,3 +190,30 @@ class TestExactReconstructionFlag:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-6)
+
+
+class TestExactRejectsNonlinear:
+    def test_exact_true_raises_on_nonlinear_decoder(self):
+        """exact=True is only valid for linear decoders (E[dec(z)] !=
+        dec(E[z]) otherwise); non-flagship configs must refuse, not
+        silently bias the estimator."""
+        from multivae_tpu.train.train_step import init_train_state
+        cfg = Config(method="joint_elbo", input_dim=[5, 24], class_dim=6,
+                     style_dim=[2, 4], hidden_dim=32,
+                     num_hidden_layer_encoder=1,
+                     num_hidden_layer_decoder=1,  # nonlinear decoder
+                     learn_output_scale=True).derive()
+        model = build_model(cfg, make_modalities(cfg.input_dim,
+                                                 cfg.style_dim,
+                                                 cfg.likelihood))
+        data = {
+            "clinical": jnp.asarray(RNG.normal(size=(8, 5))
+                                    .astype(np.float32)),
+            "rois": jnp.asarray(RNG.normal(size=(8, 24))
+                                .astype(np.float32)),
+        }
+        params, _ = init_train_state(cfg, model, data)
+        with pytest.raises(ValueError, match="linear-decoder"):
+            reconstruction_stats(model, params, data, M=4,
+                                 rng=jax.random.PRNGKey(0), cfg=cfg,
+                                 exact=True)
