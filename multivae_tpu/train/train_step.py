@@ -176,6 +176,30 @@ def make_eval_step(cfg, model, mesh: Optional[Mesh] = None):
                    out_shardings=(repl, repl))
 
 
+def make_scan_eval_step(cfg, model):
+    """Whole-test-pass evaluator: ``lax.scan`` over stacked eval batches.
+
+    ``(params, batches, rngs) -> (losses, metrics)`` with a leading batches
+    axis on inputs and outputs. One dispatch + one host fetch replaces a
+    dispatch and a ~25 ms relay ``device_get`` per test batch per epoch —
+    the dominant wall-clock of long trainings on small cohorts."""
+
+    def one(params, inp):
+        batch, rng = inp
+        rng_model, rng_loss = jax.random.split(rng)
+        variables = {"params": params}
+        out = model.apply(variables, batch, rngs={"sample": rng_model})
+        loss, metrics = total_loss(cfg, model, variables, batch, out,
+                                   rng_loss, train=False)
+        return params, (loss, metrics)
+
+    def scan_eval(params, batches, rngs):
+        _, (losses, metrics) = jax.lax.scan(one, params, (batches, rngs))
+        return losses, metrics
+
+    return jax.jit(scan_eval)
+
+
 def make_ensemble_train_step(cfg, model, optimizer=None,
                              mesh: Optional[Mesh] = None):
     """vmapped train step over a leading ensemble axis.

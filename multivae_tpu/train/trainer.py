@@ -27,6 +27,7 @@ from .logging import MetricLogger
 from .train_step import (
     make_ensemble_scan_train_step,
     make_eval_step,
+    make_scan_eval_step,
     make_train_step,
     stack_trees,
     unstack_tree,
@@ -229,18 +230,38 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
 
 
 def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
-                   rng, epoch: int):
+                   rng, epoch: int, scan_eval_fn=None):
     cfg = exp.cfg
     dataset = exp.dataset_test
     if cfg.num_models > 1:
         dataset = dataset[model_idx]
     params = exp.params[model_idx]
+    mod_names = [m.name for m in exp.model.modalities]
     batches = simple_batches(len(dataset), cfg.batch_size,
                              np.random.default_rng(cfg.seed + epoch))
+    scannable, others = [], []
     for idxs in batches:
         data, _, _ = dataset.gather(idxs)
         if not data:
             continue
+        if (scan_eval_fn is not None and len(idxs) == cfg.batch_size
+                and all(m in data for m in mod_names)):
+            scannable.append(data)
+        else:
+            others.append(data)
+    if scannable:
+        # whole test pass in one dispatch + one host fetch
+        stacked = {m: jax.numpy.asarray(
+            np.stack([d[m] for d in scannable])) for m in mod_names}
+        rng, sub = jax.random.split(rng)
+        rngs = jax.random.split(sub, len(scannable))
+        _, metrics = scan_eval_fn(params, stacked, rngs)
+        if logger is not None:
+            metrics = jax.device_get(metrics)
+            for i in range(len(scannable)):
+                logger.write_testing_logs(
+                    {k: v[i] for k, v in metrics.items()})
+    for data in others:
         rng, sub = jax.random.split(rng)
         loss, metrics = eval_fn(params, _to_device(data), sub)
         if logger is not None:
@@ -311,6 +332,7 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     step_fn = make_train_step(cfg, exp.model, mesh=mesh,
                               donate=cfg.donate_buffers)
     eval_fn = make_eval_step(cfg, exp.model)
+    scan_eval_fn = make_scan_eval_step(cfg, exp.model)
     step_fn_remainder = (make_train_step(cfg, exp.model,
                                          donate=cfg.donate_buffers)
                          if mesh is not None else None)
@@ -355,7 +377,8 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                 fused_scan_fn=fused_scan_fn,
                 step_fn_remainder=step_fn_remainder,
                 shard_multiple=cfg.data_parallel, epoch=epoch)
-            rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng, epoch)
+            rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng,
+                                 epoch, scan_eval_fn=scan_eval_fn)
             if (profile_dir is not None and model_idx == 0
                     and epoch == cfg.start_epoch):
                 jax.profiler.stop_trace()
@@ -394,6 +417,7 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
     ens_scan_fn = make_ensemble_scan_train_step(cfg, exp.model, mesh=mesh)
     step_fn = make_train_step(cfg, exp.model, donate=cfg.donate_buffers)
     eval_fn = make_eval_step(cfg, exp.model)
+    scan_eval_fn = make_scan_eval_step(cfg, exp.model)
     loggers = [MetricLogger(model_log_dir(cfg, m),
                             use_tensorboard=use_tensorboard)
                for m in range(cfg.num_models)]
@@ -414,7 +438,7 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
                                            epoch=epoch)
         for m in range(cfg.num_models):
             rngs[m] = test_one_epoch(exp, m, eval_fn, loggers[m], rngs[m],
-                                     epoch)
+                                     epoch, scan_eval_fn=scan_eval_fn)
         if profile_dir is not None and epoch == cfg.start_epoch:
             jax.profiler.stop_trace()
         if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
