@@ -286,3 +286,39 @@ class TestEnsemble:
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-5)
+
+
+class TestResolveEnsemble:
+    """The ensemble_parallel auto policy (trainer.resolve_ensemble)."""
+
+    def _model(self, cfg):
+        return build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
+                                                cfg.likelihood))
+
+    def test_forced_values(self):
+        from multivae_tpu.train.trainer import resolve_ensemble
+        cfg = make_cfg("joint_elbo", num_models=2, ensemble_parallel=True)
+        assert resolve_ensemble(cfg, self._model(cfg)) is True
+        cfg = make_cfg("joint_elbo", num_models=2, ensemble_parallel=False)
+        assert resolve_ensemble(cfg, self._model(cfg)) is False
+        cfg = make_cfg("joint_elbo", num_models=1, ensemble_parallel=True)
+        assert resolve_ensemble(cfg, self._model(cfg)) is False
+
+    def test_auto_uses_mesh_when_divisible(self):
+        from multivae_tpu.train.trainer import ensemble_mesh, resolve_ensemble
+        # 8 virtual devices; 2 members -> 2x4 mesh exists -> parallel
+        cfg = make_cfg("joint_elbo", num_models=2, ensemble_parallel="auto")
+        assert ensemble_mesh(cfg) is not None
+        assert resolve_ensemble(cfg, self._model(cfg)) is True
+
+    def test_auto_prefers_fused_when_no_mesh(self):
+        from multivae_tpu.train.trainer import ensemble_mesh, resolve_ensemble
+        # 3 members on 8 devices: no mesh; the flagship fused config should
+        # stay on the (faster per-member) sequential fused path
+        cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto")
+        assert ensemble_mesh(cfg) is None
+        assert resolve_ensemble(cfg, self._model(cfg)) is False
+        # ...but a non-fusable config (dropout) goes parallel anyway
+        cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto",
+                       dropout_rate=0.3)
+        assert resolve_ensemble(cfg, self._model(cfg)) is True
