@@ -238,3 +238,31 @@ class TestScanFallback:
         # scan fallback logs the full families, like the kernels
         assert "joint_divergence" in set(tr.metric)
         assert any(m.startswith("kld/") for m in tr.metric)
+
+
+class TestEnsembleResume:
+    @pytest.mark.slow
+    def test_resume_ensemble_run(self, tmp_path):
+        """Exact resume works for ensemble runs through the parallel epoch
+        runner (params + Adam state per member)."""
+        from multivae_tpu.workflows import resume_exp
+
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=4,
+                              n_rois=12, missing_rate=0.1, seed=23)
+        run = train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[4, 12], latent_dim=4, style_dim=[2, 2],
+            num_models=2, num_epochs=5, batch_size=16,
+            method="joint_elbo", use_tensorboard=False)
+        resume_exp("synthetic", datasetdir, outdir, run, num_epochs=8,
+                   use_tensorboard=False)
+        rundir = os.path.join(outdir, run)
+        for m in range(2):
+            ckpts = sorted(os.listdir(os.path.join(
+                rundir, "checkpoints", f"model_{m}")))
+            assert "0007" in ckpts
+        cfg = Config.load(os.path.join(rundir, "flags.json"))
+        assert cfg.start_epoch == 5 and cfg.end_epoch == 8
