@@ -22,16 +22,6 @@ except Exception:  # pragma: no cover
 
 
 class MetricLogger:
-    """Writes per-step scalar families (tensorboard + CSV mirror).
-
-    Device metric dicts may be logged as-is: they are queued with an async
-    device→host copy and materialized at :meth:`flush` (called by the
-    trainer at checkpoint cadence and on close), so the epoch loop never
-    blocks on a metric ``device_get`` — those ~25 ms relay round-trips per
-    epoch dominate long small-cohort trainings otherwise. Row order in the
-    CSV/tensorboard is the logging order regardless of when flushes happen.
-    """
-
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
@@ -42,7 +32,6 @@ class MetricLogger:
         self._csv_path = os.path.join(log_dir, "metrics.csv")
         self._csv_file = open(self._csv_path, "a", newline="")
         self._csv = csv.writer(self._csv_file)
-        self._pending = []
         if os.path.getsize(self._csv_path) == 0:
             self._csv.writerow(["step", "phase", "metric", "value"])
 
@@ -56,46 +45,12 @@ class MetricLogger:
             self.writer.add_scalar(f"{phase}/{name}", value, self.step)
         self._csv.writerow([self.step, phase, name, value])
 
-    @staticmethod
-    def _start_async_copy(metrics) -> None:
-        for v in metrics.values():
-            start = getattr(v, "copy_to_host_async", None)
-            if start is not None:
-                try:
-                    start()
-                except Exception:
-                    pass
-
     def write_metrics(self, phase: str, metrics: Dict[str, object]) -> None:
-        """Queue one step's metric dict (keys like ``loss``,
-        ``log_prob/m``, ``kld/subset``); values may be device arrays."""
-        self._start_async_copy(metrics)
-        self._pending.append((phase, metrics, None))
-
-    def write_metrics_stacked(self, phase: str, metrics: Dict[str, object],
-                              indices) -> None:
-        """Queue per-step rows sliced from stacked metric arrays (one row
-        per index; an index may be a tuple, e.g. ``(member, step)``). The
-        arrays are fetched once at flush time."""
-        self._start_async_copy(metrics)
-        for idx in indices:
-            self._pending.append((phase, metrics, idx))
-
-    def _drain(self) -> None:
-        fetched = {}
-        for phase, metrics, idx in self._pending:
-            if idx is None:
-                for name, value in metrics.items():
-                    self._scalar(phase, name, value)
-            else:
-                key = id(metrics)
-                if key not in fetched:
-                    fetched[key] = {k: np.asarray(v)
-                                    for k, v in metrics.items()}
-                for name, value in fetched[key].items():
-                    self._scalar(phase, name, value[idx])
-            self.step += 1
-        self._pending.clear()
+        """Log one step's metric dict (keys like ``loss``, ``log_prob/m``,
+        ``kld/subset``, ``joint_divergence``)."""
+        for name, value in metrics.items():
+            self._scalar(phase, name, value)
+        self.step += 1
 
     def write_training_logs(self, metrics) -> None:
         self.write_metrics("train", metrics)
@@ -104,18 +59,15 @@ class MetricLogger:
         self.write_metrics("test", metrics)
 
     def write_lhood_logs(self, lhoods: Dict[str, Dict[str, float]]) -> None:
-        self._drain()
         for s_key in sorted(lhoods):
             for m_key, val in lhoods[s_key].items():
                 self._scalar("Likelihoods", f"{s_key}/{m_key}", val)
 
     def write_prd_scores(self, prd: Dict[str, float]) -> None:
-        self._drain()
         for key, val in prd.items():
             self._scalar("PRD", key, val)
 
     def flush(self) -> None:
-        self._drain()
         self._csv_file.flush()
         if self.writer is not None:
             self.writer.flush()

@@ -81,10 +81,11 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
         n_steps += len(fused_batches)
         if logger is not None:
             # full scalar families come back from the kernel per step
-            # (utils/TBLogger.py:84-101 parity on the fused path); queued
-            # with an async host copy, materialized at the next flush
-            logger.write_metrics_stacked(
-                "train", metrics, range(0, len(fused_batches), log_every))
+            # (utils/TBLogger.py:84-101 parity on the fused path)
+            metrics = jax.device_get(metrics)
+            for i in range(0, len(fused_batches), log_every):
+                logger.write_training_logs(
+                    {k: v[i] for k, v in metrics.items()})
 
     for iteration, data in enumerate(general_batches):
         rng, sub = jax.random.split(rng)
@@ -99,7 +100,9 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
             params, opt_state, _to_device(data), sub)
         n_steps += 1
         if logger is not None and iteration % log_every == 0:
-            logger.write_training_logs(metrics)
+            # one host transfer for the whole metric dict (per-item
+            # np.asarray costs a ~2ms relay round-trip EACH)
+            logger.write_training_logs(jax.device_get(metrics))
     exp.params[model_idx] = params
     exp.opt_states[model_idx] = opt_state
     return rng, n_steps
@@ -202,12 +205,13 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
         exp.params = unstack_tree(stacked_params, n_models)
         exp.opt_states = unstack_tree(stacked_opt, n_models)
         n_steps += n_common * n_models
+        metrics = jax.device_get(metrics)
         for m in range(n_models):
             if loggers[m] is None:
                 continue
-            loggers[m].write_metrics_stacked(
-                "train", metrics,
-                [(m, i) for i in range(0, n_common, log_every)])
+            for i in range(0, n_common, log_every):
+                loggers[m].write_training_logs(
+                    {k: v[m, i] for k, v in metrics.items()})
 
     # remainder: missing-modality groups / partial batches, per member
     for m in range(n_models):
@@ -219,7 +223,7 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
                 params, opt_state, _to_device(data), subs[m][i])
             n_steps += 1
             if loggers[m] is not None and i % log_every == 0:
-                loggers[m].write_training_logs(metrics)
+                loggers[m].write_training_logs(jax.device_get(metrics))
         exp.params[m] = params
         exp.opt_states[m] = opt_state
     return rngs, n_steps
@@ -253,13 +257,15 @@ def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
         rngs = jax.random.split(sub, len(scannable))
         _, metrics = scan_eval_fn(params, stacked, rngs)
         if logger is not None:
-            logger.write_metrics_stacked("test", metrics,
-                                         range(len(scannable)))
+            metrics = jax.device_get(metrics)
+            for i in range(len(scannable)):
+                logger.write_testing_logs(
+                    {k: v[i] for k, v in metrics.items()})
     for data in others:
         rng, sub = jax.random.split(rng)
         loss, metrics = eval_fn(params, _to_device(data), sub)
         if logger is not None:
-            logger.write_testing_logs(metrics)
+            logger.write_testing_logs(jax.device_get(metrics))
 
     if ((epoch + 1) % cfg.eval_freq == 0 or (epoch + 1) == cfg.end_epoch):
         if cfg.calc_nll:
@@ -377,7 +383,6 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                     and epoch == cfg.start_epoch):
                 jax.profiler.stop_trace()
             if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
-                logger.flush()
                 ckpt_dir = model_checkpoint_dir(cfg, model_idx, epoch)
                 save_checkpoint(ckpt_dir, exp.params[model_idx],
                                 exp.opt_states[model_idx], cfg.model_save)
@@ -438,7 +443,6 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
             jax.profiler.stop_trace()
         if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
             for m in range(cfg.num_models):
-                loggers[m].flush()
                 ckpt_dir = model_checkpoint_dir(cfg, m, epoch)
                 save_checkpoint(ckpt_dir, exp.params[m], exp.opt_states[m],
                                 cfg.model_save)
