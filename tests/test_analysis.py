@@ -328,3 +328,56 @@ class TestEnsembleAnalyses:
         # either plots exist or there were no significant associations —
         # both are valid outcomes on a 30-epoch model; the call must not
         # crash on the ensemble coef layout
+
+
+class TestCliNewFlags:
+    def test_parallelism_flags_parse_and_reach_config(self, monkeypatch):
+        """The round-2 CLI surface (--data-parallel/--ensemble-parallel/
+        --fused-training/--use-sharding/--exact-reconstruction) parses and
+        reaches the workflow kwargs."""
+        import inspect
+
+        from multivae_tpu import cli
+        from multivae_tpu import workflows as _wf
+
+        seen = {}
+
+        def fake_train(**kw):
+            seen.update(kw)
+            return "run"
+
+        # the CLI builds its parser from the function signature
+        fake_train.__signature__ = inspect.signature(_wf.train_exp)
+        monkeypatch.setattr("multivae_tpu.workflows.train_exp", fake_train)
+        cli.main(["train", "--dataset", "synthetic", "--datasetdir", "/d",
+                  "--outdir", "/o", "--input-dims", "4", "12",
+                  "--data-parallel", "4", "--ensemble-parallel", "false",
+                  "--fused-training", "false", "--num-models", "2"])
+        assert seen["data_parallel"] == 4
+        assert seen["ensemble_parallel"] == "false"
+        assert seen["fused_training"] is False
+        assert seen["num_models"] == 2
+
+        seen.clear()
+
+        def fake_daa(**kw):
+            seen.update(kw)
+            return "res"
+
+        fake_daa.__signature__ = inspect.signature(_wf.daa_exp)
+        monkeypatch.setattr("multivae_tpu.workflows.daa_exp", fake_daa)
+        cli.main(["daa", "--dataset", "synthetic", "--datasetdir", "/d",
+                  "--outdir", "/o", "--run", "r", "--use-sharding", "false",
+                  "--exact-reconstruction", "false", "--M", "32"])
+        assert seen["use_sharding"] == "false"
+        assert seen["exact_reconstruction"] == "false"
+        assert seen["M"] == 32
+
+    def test_ensemble_parallel_string_normalizes_in_config(self):
+        from multivae_tpu.train.config import Config
+        assert Config(ensemble_parallel="false").derive().ensemble_parallel \
+            is False
+        assert Config(ensemble_parallel="true").derive().ensemble_parallel \
+            is True
+        assert Config(ensemble_parallel="auto").derive().ensemble_parallel \
+            == "auto"
