@@ -285,10 +285,20 @@ def fused_loss_reference(p: Dict[str, jnp.ndarray], x1, x2, eps_j, eps_s1,
 # ===========================================================================
 def _fwd_bwd(dims: FusedDims, consts: FusedConsts, learn_scale: bool,
              matmul_bf16: bool, x1, x2, ej, es1, es2,
-             sp: Dict[str, jnp.ndarray]):
-    """Loss + hand-derived gradients over the SPLIT param layout."""
-    k1, k2 = _mixture_bounds(dims.b)
-    b = float(dims.b)
+             sp: Dict[str, jnp.ndarray], row_offset=0,
+             b_total: Optional[int] = None):
+    """Loss + hand-derived gradients over the SPLIT param layout.
+
+    ``row_offset``/``b_total`` support data-parallel sharding
+    (:mod:`multivae_tpu.ops.fused_sharded`): when the batch rows are split
+    across devices, ``dims.b`` is the LOCAL row count, ``b_total`` the
+    global batch size (normalization + mixture-partition bounds), and
+    ``row_offset`` (may be traced) the device's first global row index so
+    the 3-subset mixture masks stay globally consistent. All sums here are
+    then partial: ``psum`` over the data axis yields the exact full-batch
+    loss/grads."""
+    k1, k2 = _mixture_bounds(b_total or dims.b)
+    b = float(b_total or dims.b)
     beta, beta_style, beta_content = consts
 
     def _cast(a, bb):
@@ -335,7 +345,7 @@ def _fwd_bwd(dims: FusedDims, consts: FusedConsts, learn_scale: bool,
     mu_c = (cmu1 * t1 + cmu2 * t2) / ts
     lv_c = -jnp.log(ts)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (dims.b, 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (dims.b, 1), 0) + row_offset
     m_a = (rows < k1).astype(jnp.float32)
     m_b = jnp.logical_and(rows >= k1, rows < k2).astype(jnp.float32)
     m_c = (rows >= k2).astype(jnp.float32)

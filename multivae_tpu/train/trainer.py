@@ -126,9 +126,11 @@ def resolve_ensemble(cfg, model) -> bool:
         return True
     if cfg.fused_training:
         from ..ops import fused_generic as _fg
+        from ..ops import fused_methods as _fm
         from ..ops import fused_step as _fs
         example = {m.name: None for m in model.modalities}
         if (_fs.supports_fused(cfg, model, example)
+                or _fm.supports_method_fused(cfg, model, example)
                 or _fg.supports_generic_fused(cfg, model, example)):
             return False
     return True
@@ -338,21 +340,35 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                          if mesh is not None else None)
     fused_scan_fn = None
     if cfg.fused_training:
+        from ..ops import fused_generic as _fg
+        from ..ops import fused_step as _fs
+        example = {m.name: None for m in exp.model.modalities}
+        interpret = jax.default_backend() == "cpu"
+        from ..ops import fused_methods as _fm
         if mesh is None:
-            from ..ops import fused_generic as _fg
-            from ..ops import fused_step as _fs
-            example = {m.name: None for m in exp.model.modalities}
-            interpret = jax.default_backend() == "cpu"
             if _fs.supports_fused(cfg, exp.model, example):
                 # hand-derived flagship kernel (fastest)
                 from .train_step import make_optimizer
                 fused_scan_fn = _fs.make_fused_scan_train_step(
                     cfg, exp.model, make_optimizer(cfg),
                     interpret=interpret)
+            elif _fm.supports_method_fused(cfg, exp.model, example):
+                # split-param kernel with in-kernel autodiff: moe/poe/jsd
+                # on the flagship architecture at hand-kernel speed
+                fused_scan_fn = _fm.make_method_fused_epoch(
+                    cfg, exp.model, interpret=interpret)
             elif _fg.supports_generic_fused(cfg, exp.model, example):
                 # autodiff-in-Pallas epoch kernel (any method/architecture)
                 fused_scan_fn = _fg.make_generic_fused_epoch(
                     cfg, exp.model, interpret=interpret)
+        elif (_fs.supports_fused(cfg, exp.model, example)
+              and cfg.batch_size % cfg.data_parallel == 0):
+            # data-parallel keeps the Pallas kernel: per-step fwd+bwd on
+            # each device's row slice under shard_map, gradient psum over
+            # ICI (mirrors the DAA sweep composition, analysis/daa.py)
+            from ..ops.fused_sharded import make_fused_dp_scan_train_step
+            fused_scan_fn = make_fused_dp_scan_train_step(cfg, exp.model,
+                                                          mesh)
         if fused_scan_fn is None and (
                 mesh is None or cfg.batch_size % cfg.data_parallel == 0):
             # universal fallback: XLA lax.scan over the epoch's complete
@@ -414,7 +430,25 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
     sequential path."""
     cfg = exp.cfg
     mesh = ensemble_mesh(cfg)
-    ens_scan_fn = make_ensemble_scan_train_step(cfg, exp.model, mesh=mesh)
+    ens_scan_fn = None
+    if cfg.fused_training and mesh is not None:
+        from ..ops import fused_step as _fs
+        example = {m.name: None for m in exp.model.modalities}
+        if _fs.supports_fused(cfg, exp.model, example):
+            # members shard over the model axis and each runs the
+            # resident-VMEM Pallas epoch kernel — full single-chip kernel
+            # speed per member, zero collectives (the members are
+            # independent; replaces run_epochs.py:228-241). Uses one
+            # device per member (the first data-column of the mesh); the
+            # kernel's ~10x per-member speedup beats spreading the general
+            # step over the extra data-axis devices at this model scale.
+            from ..ops.fused_sharded import make_fused_ensemble_epoch
+            mdevs = np.asarray(mesh.devices)[:, 0]
+            mmesh = jax.sharding.Mesh(mdevs, ("model",))
+            ens_scan_fn = make_fused_ensemble_epoch(cfg, exp.model, mmesh)
+    if ens_scan_fn is None:
+        ens_scan_fn = make_ensemble_scan_train_step(cfg, exp.model,
+                                                    mesh=mesh)
     step_fn = make_train_step(cfg, exp.model, donate=cfg.donate_buffers)
     eval_fn = make_eval_step(cfg, exp.model)
     scan_eval_fn = make_scan_eval_step(cfg, exp.model)
