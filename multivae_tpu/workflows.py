@@ -145,7 +145,8 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
             n_validation=5, n_samples=200, n_subjects=50, M=1000,
             trust_level=0.75, seed=1037, reg_method="hierarchical",
             sample_latents=True, vote_prop=1, chunk=16,
-            use_sharding="auto", exact_reconstruction="auto"):
+            use_sharding="auto", exact_reconstruction="auto",
+            fetch_dtype="float16"):
     """Digital avatars analysis (``workflow.py:185-539``): perturb one
     clinical score at a time, decode ROI avatars, regress avatar on score per
     ROI and vote Bonferroni-significant associations.
@@ -153,7 +154,9 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
     ``use_sharding`` shards the perturbation grid over all devices (auto
     when more than one is present); ``exact_reconstruction=False`` forces
     the reference's Monte-Carlo M-pass reconstruction average instead of
-    its closed form."""
+    its closed form; ``fetch_dtype`` is the device->host wire dtype for the
+    avatar tensor (float16 halves the dominant transfer; float32 forces an
+    exact fetch — the on-disk artifact is float32 either way)."""
     from .analysis.daa import run_daa
 
     print_title(f"DIGITAL AVATARS ANALYSIS: {dataset}")
@@ -170,7 +173,8 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
                      seed=seed, reg_method=reg_method,
                      sample_latents=sample_latents, vote_prop=vote_prop,
                      chunk=chunk, use_sharding=use_sharding,
-                     exact_reconstruction=exact_reconstruction)
+                     exact_reconstruction=exact_reconstruction,
+                     fetch_dtype=fetch_dtype)
     return resdir
 
 
