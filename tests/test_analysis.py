@@ -218,6 +218,34 @@ class TestDaaVariants:
         assert pv.shape == (1, N_SCORES, N_ROIS)
         assert np.all((pv >= 0) & (pv <= 1))
 
+    def test_fetch_dtype_equivalence(self, pipeline):
+        """float16 wire fetch (the transfer-bottleneck default) must leave
+        the regression outputs and significance votes unchanged to
+        tolerance vs an exact float32 fetch; the on-disk artifact is
+        float32 either way."""
+        datasetdir, outdir, run, _, _ = pipeline
+        kw = dict(dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+                  run=run, n_validation=2, n_samples=12, n_subjects=10,
+                  M=4, trust_level=0.5, seed=9, chunk=8)
+        out = {}
+        for dtype in ("float16", "float32"):
+            resdir = wf.daa_exp(fetch_dtype=dtype, **kw)
+            da = np.load(os.path.join(resdir, "rois_digital_avatars.npy"),
+                         mmap_mode="r")
+            assert da.dtype == np.float32
+            out[dtype] = (
+                np.load(os.path.join(resdir, "coefs.npy")),
+                np.load(os.path.join(resdir, "pvalues.npy")),
+                pd.read_table(os.path.join(resdir,
+                                           "significant_rois.tsv")))
+        c16, pv16, sig16 = out["float16"]
+        c32, pv32, sig32 = out["float32"]
+        np.testing.assert_allclose(c16, c32, rtol=2e-2, atol=1e-4)
+        # mid-range p-values wobble in the 3rd digit; the decision-relevant
+        # contract is the (Bonferroni + voting) significance outcome
+        np.testing.assert_allclose(pv16, pv32, atol=1e-2)
+        pd.testing.assert_frame_equal(sig16, sig32)
+
     def test_bad_strategy_raises(self, pipeline):
         datasetdir, outdir, run, _, _ = pipeline
         with pytest.raises(ValueError):
