@@ -259,6 +259,75 @@ class TestForwardParity:
         assert "rois" not in out_t["rec"]
 
 
+class TestGradParity:
+    @pytest.mark.parametrize("method", METHODS)
+    def test_backward_matches_reference_autograd(self, ref, batch_np,
+                                                 method):
+        """torch autograd of the REAL ``basic_routine_epoch`` total loss
+        (``run_epochs.py:166-182``'s backward quantities) against
+        ``jax.grad`` of ``total_loss`` with copied weights and zero noise —
+        for all four methods, including poe's unimodal re-runs."""
+        import jax
+
+        (cfg, model_j, params, batch_j, _, flags, model_t, modalities,
+         batch_t, _) = run_both(ref, method, batch_np)
+
+        noise = jnp.zeros((B, model_j.noise_width(batch_j)), jnp.float32)
+        noise_uni = None
+        if method == "poe":
+            noise_uni = {
+                name: jnp.zeros((B, model_j.noise_width({name: None})),
+                                jnp.float32)
+                for name in ("clinical", "rois")}
+
+        def loss_fn(p):
+            out = model_j.apply({"params": p}, batch_j, noise=noise)
+            return total_loss(cfg, model_j, {"params": p}, batch_j, out,
+                              None, noise_uni=noise_uni)[0]
+
+        g = jax.grad(loss_fn)(params)
+
+        exp = types.SimpleNamespace(
+            flags=flags, models=model_t, modalities=modalities,
+            rec_weights={m: 1.0 for m in modalities},
+            style_weights={m: flags.beta_style for m in modalities})
+        model_t.zero_grad()
+        out_ref = ref.run_epochs.basic_routine_epoch(
+            exp, 0, [dict(batch_t)])
+        out_ref["total_loss"].backward()
+
+        def close(a, t_param, msg):
+            np.testing.assert_allclose(
+                np.asarray(a), t_param.grad.detach().numpy(),
+                rtol=5e-4, atol=1e-5, err_msg=f"{method} {msg}")
+
+        for i, name in enumerate(["clinical", "rois"]):
+            s = [S1, S2][i]
+            enc = model_t.encoders[name]
+            p = g[f"enc_{name}"]
+            close(np.asarray(p["hidden_0"]["kernel"]).T,
+                  enc.shared_encoder[0].weight, f"{name} enc hidden W")
+            close(p["hidden_0"]["bias"], enc.shared_encoder[0].bias,
+                  f"{name} enc hidden b")
+            hw = np.asarray(p["heads"]["kernel"])
+            hb = np.asarray(p["heads"]["bias"])
+            close(hw[:, :CD].T, enc.class_mu.weight, f"{name} cmu W")
+            close(hb[:CD], enc.class_mu.bias, f"{name} cmu b")
+            close(hw[:, CD:2 * CD].T, enc.class_logvar.weight,
+                  f"{name} clv W")
+            close(hb[CD:2 * CD], enc.class_logvar.bias, f"{name} clv b")
+            close(hw[:, 2 * CD:2 * CD + s].T, enc.style_mu.weight,
+                  f"{name} smu W")
+            close(hw[:, 2 * CD + s:].T, enc.style_logvar.weight,
+                  f"{name} slv W")
+            dec = model_t.decoders[name]
+            d = g[f"dec_{name}"]
+            close(np.asarray(d["out_mu"]["kernel"]).T, dec.out_mu.weight,
+                  f"{name} dec W")
+            close(d["out_mu"]["bias"], dec.out_mu.bias, f"{name} dec b")
+            close(d["out_logvar"], dec.logvar, f"{name} out_logvar")
+
+
 class TestLossParity:
     @pytest.mark.parametrize("method", METHODS)
     def test_total_loss_matches_basic_routine_epoch(self, ref, batch_np,
