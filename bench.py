@@ -41,7 +41,7 @@ def bench_jax():
 
     from multivae_tpu.models import build_model, make_modalities
     from multivae_tpu.train.config import Config
-    from multivae_tpu.train.train_step import init_train_state, make_train_step
+    from multivae_tpu.train.train_step import init_train_state
 
     cfg = Config(method="joint_elbo", input_dim=list(DIMS),
                  class_dim=CLASS_DIM, style_dim=list(STYLE),

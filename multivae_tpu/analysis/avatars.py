@@ -10,8 +10,6 @@ Figures are saved into the run/dataset directory (the reference calls
 from __future__ import annotations
 
 import os
-from types import SimpleNamespace
-from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -19,9 +17,8 @@ import pandas as pd
 from ..data.cohorts import get_short_clinical_names
 from ..train.config import Config
 from ..train.experiment import MultimodalExperiment
-from ..utils.colors import print_result, print_text, print_title
+from ..utils.colors import print_result, print_text
 from .daa import params_namespace, resdir_name
-from .stats import ols_fit
 
 
 def _load_daa_dir(outdir, run, n_validation, n_subjects, M, n_samples,

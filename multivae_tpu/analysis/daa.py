@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 from numpy.lib.format import open_memmap
 
-from ..utils.colors import print_result, print_subtitle, print_text, print_title
+from ..utils.colors import print_result, print_subtitle, print_text
 from .stats import (
     fixed_regression_batch,
     hierarchical_regression_batch,

@@ -9,14 +9,12 @@ per-clinical-score and per-covariate dissimilarity matrices.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from ..utils.colors import print_result, print_subtitle, print_text, print_title
+from ..utils.colors import print_result, print_subtitle
 from .daa import complete_indices, full_batch
 from .stats import data2cmat, fit_rsa, vec2cmat
 

@@ -24,7 +24,7 @@ ROI-independent, so only the X'V⁻¹y / RSS terms carry an R axis).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

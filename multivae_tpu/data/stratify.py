@@ -14,7 +14,7 @@ exact membership (noted in SURVEY.md §7 "hard parts").
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, List, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

@@ -11,7 +11,7 @@ recoverable signal.
 from __future__ import annotations
 
 import os
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 import pandas as pd

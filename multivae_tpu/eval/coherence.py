@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import jax
 import numpy as np
 from sklearn.linear_model import LogisticRegression
 

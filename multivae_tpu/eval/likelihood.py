@@ -12,7 +12,6 @@ a leading axis instead of host-side ``repeat``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
@@ -20,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ops
-from ..data import simple_batches
 
 
 def _imp_samples(rng, mu, logvar, k):

@@ -16,7 +16,6 @@ file).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -11,7 +11,6 @@ adaptation recorded in SURVEY.md §2.4). The Frechet distance math matches
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional
 
 import jax

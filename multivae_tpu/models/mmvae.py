@@ -18,7 +18,7 @@ Reference behavior: ``experiments/utils/BaseMMVae.py`` (fusion dispatch
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

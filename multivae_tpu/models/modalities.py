@@ -11,7 +11,7 @@ in :mod:`multivae_tpu.ops.likelihoods`.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from itertools import chain, combinations
+from itertools import combinations
 from typing import Dict, List, Sequence, Tuple
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -61,6 +61,10 @@ class Config:
     beta_content: float = 1.0
     kl_annealing: int = 0
     poe_unimodal_elbos: bool = True
+    # accepted for reference-CLI compatibility but a documented NO-OP: the
+    # reference used it to toggle torch.cuda.amp.GradScaler
+    # (run_epochs.py:166-182); this stack trains in f32 (kernels may cast
+    # matmuls to bf16 via `precision`) where loss-scaling has no role
     grad_scaling: bool = False
     seed: int = 42
 

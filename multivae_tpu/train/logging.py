@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -13,7 +13,6 @@ is importable the fsaverage path is used.
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Sequence
 
 import matplotlib

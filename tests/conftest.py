@@ -11,16 +11,18 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-# Persistent compilation cache: CPU compiles here are ~1s per graph; caching
-# across runs keeps the suite fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: CPU compiles here are 1-10s per graph and
+# dominate suite wall clock. NOTE: the env-var spelling of these options is
+# not honored in this jax build (the cache stays "disabled/not initialized");
+# config.update is.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from jax._src import xla_bridge  # noqa: E402
 
 if not xla_bridge.backends_are_initialized():

@@ -160,7 +160,6 @@ class TestDropout:
     def test_statistical_parity_with_general_path(self, method):
         """Initial-loss distribution over dropout draws matches the general
         path's (same params, fresh masks each side)."""
-        from multivae_tpu.train.train_step import make_eval_step
 
         cfg, model, batch, params, opt_state, _ = make_setup(method)
         cfg.dropout_rate = 0.4

@@ -20,7 +20,7 @@ from multivae_tpu.ops.fused_sharded import (
     make_fused_ensemble_epoch,
 )
 from multivae_tpu.ops.fused_step import make_fused_scan_train_step
-from multivae_tpu.parallel import data_mesh, make_mesh
+from multivae_tpu.parallel import data_mesh
 from multivae_tpu.train import Config
 from multivae_tpu.train.train_step import init_train_state
 

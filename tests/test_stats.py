@@ -3,7 +3,6 @@ references, batched kernels vs scalar paths, ANOVA, RSA primitives."""
 
 import numpy as np
 import pandas as pd
-import pytest
 from scipy import stats as sstats
 
 from multivae_tpu.analysis.stats import (

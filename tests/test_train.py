@@ -6,7 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from multivae_tpu.models import build_model, make_modalities
 from multivae_tpu.train import Config
@@ -314,11 +314,18 @@ class TestResolveEnsemble:
     def test_auto_prefers_fused_when_no_mesh(self):
         from multivae_tpu.train.trainer import ensemble_mesh, resolve_ensemble
         # 3 members on 8 devices: no mesh; the flagship fused config should
-        # stay on the (faster per-member) sequential fused path
+        # stay on the (faster per-member) sequential fused path — measured
+        # basis: 18.7k member-steps/s sequential-fused vs 319 vmapped-
+        # general on one v5e chip, 58.6x (BASELINE.md round-3 table)
         cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto")
         assert ensemble_mesh(cfg) is None
         assert resolve_ensemble(cfg, self._model(cfg)) is False
-        # ...but a non-fusable config (dropout) goes parallel anyway
+        # dropout now rides the method kernel (fused) -> still sequential
         cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto",
                        dropout_rate=0.3)
+        assert resolve_ensemble(cfg, self._model(cfg)) is False
+        # ...but a truly non-fusable config (per-sample output scale +
+        # dropout, which no kernel covers) goes parallel
+        cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto",
+                       dropout_rate=0.3, learn_output_sample_scale=True)
         assert resolve_ensemble(cfg, self._model(cfg)) is True
