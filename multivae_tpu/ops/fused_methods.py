@@ -126,9 +126,12 @@ def _uniform_bounds(b: int, k: int):
     return [i * size for i in range(1, k)]
 
 
-def _row_masks(b: int, bounds):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-    edges = [0] + list(bounds) + [b]
+def _row_masks(b: int, bounds, total: int, row_offset=0):
+    """Component row masks over GLOBAL row indices ``offset..offset+b``
+    (``total`` rows overall; under data-parallel row sharding the partition
+    must stay globally consistent — see ``fused_step._fwd_bwd``)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) + row_offset
+    edges = [0] + list(bounds) + [total]
     return [jnp.logical_and(rows >= lo, rows < hi).astype(jnp.float32)
             for lo, hi in zip(edges[:-1], edges[1:])]
 
@@ -136,7 +139,7 @@ def _row_masks(b: int, bounds):
 def method_loss_split(method: str, dims: FusedDims, consts: FusedConsts,
                       learn_scale: bool, matmul_bf16: bool,
                       sp: Dict[str, jnp.ndarray], x1, x2, noise,
-                      dropout_masks=None):
+                      dropout_masks=None, row_offset=0, b_total=None):
     """Scalar loss + metric list for ``method`` over SPLIT params.
 
     ``noise``: ``[B, noise_width]`` standard-normal draws (column layout:
@@ -152,7 +155,12 @@ def method_loss_split(method: str, dims: FusedDims, consts: FusedConsts,
     re-masked hidden activations. Pure deterministic map — differentiable
     w.r.t. ``sp`` and safe inside a Pallas kernel body.
     """
-    b = float(dims.b)
+    # data-parallel row sharding (see fused_step._fwd_bwd): dims.b is the
+    # LOCAL row count, sums normalize by the global batch, partition masks
+    # use global row indices; psum over the data axis restores exact
+    # full-batch loss/grads (mean metrics also divide by n_dev outside)
+    bt = int(b_total) if b_total else dims.b
+    b = float(bt)
     cd, s1, s2 = dims.cd, dims.s1, dims.s2
     beta, beta_style, beta_content = consts
 
@@ -213,14 +221,16 @@ def method_loss_split(method: str, dims: FusedDims, consts: FusedConsts,
     if method == "joint_elbo":
         mu_a, lv_a = cmu1, -jnp.log(t1)
         mu_b, lv_b = cmu2, -jnp.log(t2)
-        m_a, m_b, m_c = _row_masks(dims.b, _uniform_bounds(dims.b, 3))
+        m_a, m_b, m_c = _row_masks(dims.b, _uniform_bounds(bt, 3),
+                                   bt, row_offset)
         joint_mu = m_a * mu_a + m_b * mu_b + m_c * mu_c
         joint_lv = m_a * lv_a + m_b * lv_b + m_c * lv_c
         kld_a, kld_b, kld_c = (kl_sum(mu_a, lv_a), kl_sum(mu_b, lv_b),
                                kl_sum(mu_c, lv_c))
         group_div = (kld_a + kld_b + kld_c) / 3.0
     elif method == "moe":
-        m_a, m_b = _row_masks(dims.b, _uniform_bounds(dims.b, 2))
+        m_a, m_b = _row_masks(dims.b, _uniform_bounds(bt, 2), bt,
+                              row_offset)
         joint_mu = m_a * cmu1 + m_b * cmu2
         joint_lv = m_a * clv1 + m_b * clv2
         kld_a, kld_b = kl_sum(cmu1, clv1), kl_sum(cmu2, clv2)
@@ -228,11 +238,13 @@ def method_loss_split(method: str, dims: FusedDims, consts: FusedConsts,
         kld_c = kl_sum(joint_mu, joint_lv)
         group_div = (kld_a + kld_b) / 2.0
     elif method == "jsd":
-        m_a, m_b, m_u = _row_masks(dims.b, _uniform_bounds(dims.b, 3))
+        m_a, m_b, m_u = _row_masks(dims.b, _uniform_bounds(bt, 3),
+                                   bt, row_offset)
         joint_mu = m_a * cmu1 + m_b * cmu2  # unit rows: mu = 0
         joint_lv = m_a * clv1 + m_b * clv2  # unit rows: logvar = 0
         kld_a, kld_b = kl_sum(cmu1, clv1), kl_sum(cmu2, clv2)
-        pm_a, pm_b = _row_masks(dims.b, _uniform_bounds(dims.b, 2))
+        pm_a, pm_b = _row_masks(dims.b, _uniform_bounds(bt, 2), bt,
+                                row_offset)
         kld_c = kl_sum(pm_a * cmu1 + pm_b * cmu2,
                        pm_a * clv1 + pm_b * clv2)
         # alpha-PoE dynamic prior over [e1, e2, unit], uniform alphas
@@ -377,11 +389,11 @@ def _method_epoch_kernel(method, dims, consts, learn_scale, matmul_bf16,
             jnp.sqrt(nu / bc2) + adam_eps)
 
 
-def make_method_fused_epoch(cfg, model, interpret: bool = False,
-                            matmul_bf16=None):
-    """Epoch trainer for any of the four methods on the flagship
-    architecture; drop-in for ``make_fused_scan_train_step`` /
-    ``make_generic_fused_epoch``:
+def build_method_epoch(cfg, model, interpret: bool = False,
+                       matmul_bf16=None):
+    """Un-jitted epoch trainer body (jitted by
+    :func:`make_method_fused_epoch`; embedded per member by
+    ``ops/fused_sharded.make_fused_ensemble_epoch``):
 
     ``(params, opt_state, batches, rngs) -> (params, opt_state, losses,
     metrics)`` with ``batches = {mod: [n_steps, B, d]}`` and ``opt_state``
@@ -478,4 +490,13 @@ def make_method_fused_epoch(cfg, model, interpret: bool = False,
         metrics = {name: mgrid[:, j] for j, name in enumerate(mnames)}
         return new_params, new_state, mgrid[:, 0], metrics
 
-    return jax.jit(scan_steps)
+    return scan_steps
+
+
+def make_method_fused_epoch(cfg, model, interpret: bool = False,
+                            matmul_bf16=None):
+    """Jitted epoch trainer for any of the four methods on the flagship
+    architecture; drop-in for ``make_fused_scan_train_step`` /
+    ``make_generic_fused_epoch`` (see :func:`build_method_epoch`)."""
+    return jax.jit(build_method_epoch(cfg, model, interpret=interpret,
+                                      matmul_bf16=matmul_bf16))

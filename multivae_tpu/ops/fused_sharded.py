@@ -34,6 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .fused_methods import (
+    build_method_epoch,
+    method_loss_split,
+    method_metric_names,
+    noise_width,
+)
 from .fused_step import (
     N_METRICS,
     SPLIT_NAMES,
@@ -48,9 +54,16 @@ from .fused_step import (
     unflatten_grads,
 )
 
-# metrics[0:9] are sums/b_total (exact under psum); metrics[9:] are local
-# means (psum then /n_dev) — see fused_step.METRIC_TEMPLATES ordering
-_N_SUM_METRICS = 9
+# metric ordering (fused_step.METRIC_TEMPLATES / method_metric_names):
+# indices [0, 9) and [17, ...) are sums/b_total — exact under psum;
+# [9, 17) are local means — psum then /n_dev
+_MEAN_LO, _MEAN_HI = 9, 17
+
+
+def _mean_rescale(mvec, n_dev: int):
+    return jnp.concatenate([mvec[:_MEAN_LO],
+                            mvec[_MEAN_LO:_MEAN_HI] / float(n_dev),
+                            mvec[_MEAN_HI:]])
 
 
 def _dp_kernel(dims, b_total, consts, learn_scale, matmul_bf16, *refs):
@@ -94,10 +107,37 @@ def _dp_loss_and_grads(sp, x1, x2, ej, es1, es2, offset, dims, b_total,
     return mvec, grads
 
 
+def _dp_method_kernel(method, dims, b_total, consts, learn_scale,
+                      matmul_bf16, n_met, n_masks, *refs):
+    """Method-dispatched single-step fwd+bwd (in-kernel autodiff of
+    ``method_loss_split``) on a LOCAL row slice."""
+    n = len(SPLIT_NAMES)
+    x1_ref, x2_ref, noise_ref = refs[:3]
+    mask_refs = refs[3:3 + n_masks]
+    off_ref = refs[3 + n_masks]
+    base = 4 + n_masks
+    sp = {name: refs[base + i][:] for i, name in enumerate(SPLIT_NAMES)}
+    metrics_ref = refs[base + n]
+    g_refs = refs[base + n + 1:]
+    masks = tuple(m[:] for m in mask_refs) if n_masks else None
+
+    def loss_fn(p):
+        return method_loss_split(
+            method, dims, consts, learn_scale, matmul_bf16, p, x1_ref[:],
+            x2_ref[:], noise_ref[:], dropout_masks=masks,
+            row_offset=off_ref[0, 0], b_total=b_total)
+
+    (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(sp)
+    for j in range(n_met):
+        metrics_ref[0, j] = metrics[j]
+    for i, name in enumerate(SPLIT_NAMES):
+        g_refs[i][:] = g[name]
+
+
 def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
                                   interpret: Optional[bool] = None,
                                   matmul_bf16: Optional[bool] = None):
-    """Data-parallel epoch trainer on the fused kernel.
+    """Data-parallel epoch trainer on the fused kernels — ALL four methods.
 
     ``(params, opt_state, batches, rngs) -> (params, opt_state, losses,
     metrics)`` with ``batches = {mod: [n_steps, B, d]}`` (B divisible by the
@@ -106,6 +146,9 @@ def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
     ``shard_map``: per-step Pallas fwd+bwd on the local row slice, gradient
     ``psum`` over ``data``, replicated flat-Adam update, all under one
     ``lax.scan`` — one device dispatch per epoch, kernel math per step.
+    joint_elbo (no dropout) uses the hand-derived backward
+    (``fused_step._fwd_bwd``); moe/poe/jsd and dropout configs use
+    in-kernel autodiff of the split-param method forward.
     """
     from jax.flatten_util import ravel_pytree
 
@@ -121,6 +164,14 @@ def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
     if matmul_bf16 is None:
         matmul_bf16 = getattr(cfg, "precision", "float32") == "bfloat16"
     n_dev = mesh.shape["data"]
+    method = cfg.method
+    rate = float(cfg.dropout_rate)
+    use_hand = method == "joint_elbo" and rate == 0.0
+    n_masks = 0 if (use_hand or rate == 0.0) else (
+        4 if method == "poe" else 2)
+    mnames = (metric_names(model) if use_hand
+              else method_metric_names(model, method))
+    total_w = noise_width(cfg)
 
     def scan_steps(params, opt_state, batches, rngs):
         x1s = batches[names[0]]
@@ -128,11 +179,25 @@ def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
         n_steps, b_total = x1s.shape[0], x1s.shape[1]
         local_b = b_total // n_dev
         dims = dims_from(cfg, local_b)
-        e = dims.cd + dims.s1 + dims.s2
-        # identical noise stream to the single-device fused path; rows of
-        # each step's (B, e) draw shard with the batch rows
-        eps = jax.vmap(
-            lambda k: jax.random.normal(k, (b_total, e), jnp.float32))(rngs)
+        # identical noise stream to the single-device fused paths; rows of
+        # each step's (B, w) draws shard with the batch rows
+        if use_hand:
+            e = dims.cd + dims.s1 + dims.s2
+            noise = jax.vmap(lambda k: jax.random.normal(
+                k, (b_total, e), jnp.float32))(rngs)
+        else:
+            noise = jax.vmap(lambda k: jax.random.normal(
+                k, (b_total, total_w), jnp.float32))(rngs)
+        mask_grids = []
+        if n_masks:
+            def draw_masks(k):
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(k, 7), 1.0 - rate,
+                    (n_masks, b_total, cfg.hidden_dim))
+                return keep.astype(jnp.float32) / (1.0 - rate)
+
+            all_masks = jax.vmap(draw_masks)(rngs)
+            mask_grids = [all_masks[:, i] for i in range(n_masks)]
         dims_full = dims_from(cfg, b_total)
         sp0 = split_params(flatten_params(params, model), dims_full)
         _, unravel = ravel_pytree(params)
@@ -142,23 +207,27 @@ def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
                            dims_full)
         count0 = jnp.asarray(opt_state.count, jnp.int32)
 
-        def body(sp, mu, nu, x1s_l, x2s_l, eps_l):
+        def body(sp, mu, nu, *streams):
             offset = jax.lax.axis_index("data") * local_b
 
             def step(carry, inp):
                 sp, mu, nu, t = carry
-                x1, x2, ep = inp
-                ej = ep[:, :dims.cd]
-                es1 = ep[:, dims.cd:dims.cd + dims.s1]
-                es2 = ep[:, dims.cd + dims.s1:]
-                mvec, g = _dp_loss_and_grads(
-                    sp, x1, x2, ej, es1, es2, offset, dims, b_total,
-                    consts, learn_scale, interpret, matmul_bf16)
+                x1, x2, nz = inp[:3]
+                mks = inp[3:]
+                if use_hand:
+                    ej = nz[:, :dims.cd]
+                    es1 = nz[:, dims.cd:dims.cd + dims.s1]
+                    es2 = nz[:, dims.cd + dims.s1:]
+                    mvec, g = _dp_loss_and_grads(
+                        sp, x1, x2, ej, es1, es2, offset, dims, b_total,
+                        consts, learn_scale, interpret, matmul_bf16)
+                else:
+                    mvec, g = _dp_method_loss_and_grads(
+                        sp, x1, x2, nz, mks, offset, method, dims, b_total,
+                        consts, learn_scale, interpret, matmul_bf16,
+                        len(mnames))
                 g = {k: jax.lax.psum(v, "data") for k, v in g.items()}
-                mvec = jax.lax.psum(mvec, "data")
-                mvec = jnp.concatenate(
-                    [mvec[:_N_SUM_METRICS],
-                     mvec[_N_SUM_METRICS:] / float(n_dev)])
+                mvec = _mean_rescale(jax.lax.psum(mvec, "data"), n_dev)
                 t = t + 1
                 tf = t.astype(jnp.float32)
                 bc1 = 1.0 - jnp.exp(tf * math.log(b1))
@@ -174,15 +243,16 @@ def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
                 return (new_sp, new_mu, new_nu, t), mvec
 
             (sp, mu, nu, _), mgrid = jax.lax.scan(
-                step, (sp, mu, nu, count0), (x1s_l, x2s_l, eps_l))
+                step, (sp, mu, nu, count0), tuple(streams))
             return sp, mu, nu, mgrid
 
         row = P(None, "data")
+        streams = [x1s, x2s, noise] + mask_grids
         sp, mu, nu, mgrid = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(), P(), P(), row, row, row),
+            in_specs=(P(), P(), P()) + (row,) * len(streams),
             out_specs=(P(), P(), P(), P()),
-            check_vma=False)(sp0, mu0, nu0, x1s, x2s, eps)
+            check_vma=False)(sp0, mu0, nu0, *streams)
 
         new_params = unflatten_grads(join_params(sp, dims_full), params,
                                      model)
@@ -192,8 +262,7 @@ def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
             count=opt_state.count + n_steps,
             mu=ravel_pytree(mu_tree)[0],
             nu=ravel_pytree(nu_tree)[0])
-        metrics = {name: mgrid[:, j]
-                   for j, name in enumerate(metric_names(model))}
+        metrics = {name: mgrid[:, j] for j, name in enumerate(mnames)}
         return new_params, new_state, mgrid[:, 0], metrics
 
     repl = NamedSharding(mesh, P())
@@ -201,6 +270,34 @@ def make_fused_dp_scan_train_step(cfg, model, mesh: Mesh,
     return jax.jit(scan_steps,
                    in_shardings=(repl, repl, data, repl),
                    out_shardings=(repl, repl, repl, repl))
+
+
+def _dp_method_loss_and_grads(sp, x1, x2, noise, masks, offset, method,
+                              dims, b_total, consts, learn_scale, interpret,
+                              matmul_bf16, n_met):
+    """Partial (local-rows) metrics + grads from the method kernel."""
+    n_masks = len(masks)
+    off = jnp.asarray(offset, jnp.int32).reshape(1, 1)
+    inputs = [x1, x2, noise] + list(masks) + [off] \
+        + [sp[nm] for nm in SPLIT_NAMES]
+    out_shapes = ([jax.ShapeDtypeStruct((1, n_met), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(sp[nm].shape, jnp.float32)
+                     for nm in SPLIT_NAMES])
+    kernel = partial(_dp_method_kernel, method, dims, b_total, consts,
+                     learn_scale, matmul_bf16, n_met, n_masks)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[vmem] * (3 + n_masks) + [smem]
+        + [vmem] * len(SPLIT_NAMES),
+        out_specs=[smem] + [vmem] * len(SPLIT_NAMES),
+        interpret=interpret,
+    )(*inputs)
+    mvec = outs[0][0]
+    grads = {nm: g for nm, g in zip(SPLIT_NAMES, outs[1:])}
+    return mvec, grads
 
 
 def make_fused_ensemble_epoch(cfg, model, mesh: Mesh,
@@ -231,10 +328,26 @@ def make_fused_ensemble_epoch(cfg, model, mesh: Mesh,
     if matmul_bf16 is None:
         matmul_bf16 = getattr(cfg, "precision", "float32") == "bfloat16"
     n_model = mesh.shape["model"]
+    use_hand = cfg.method == "joint_elbo" and cfg.dropout_rate == 0.0
+    mnames = (metric_names(model) if use_hand
+              else method_metric_names(model, cfg.method))
+    if not use_hand:
+        method_epoch = build_method_epoch(cfg, model, interpret=interpret,
+                                          matmul_bf16=matmul_bf16)
 
     def member_epoch(params, count, mu_flat, nu_flat, x1s, x2s, rngs):
+        from ..train.train_step import FlatAdamState as _FAS
+
         n_steps, b = x1s.shape[0], x1s.shape[1]
         dims = dims_from(cfg, b)
+        if not use_hand:
+            # moe/poe/jsd (or dropout): the method kernel per member
+            state = _FAS(count=count, mu=mu_flat, nu=nu_flat)
+            new_p, new_state, _, metrics = method_epoch(
+                params, state, {names[0]: x1s, names[1]: x2s}, rngs)
+            mgrid = jnp.stack([metrics[k] for k in mnames], axis=1)
+            return (new_p, new_state.count, new_state.mu, new_state.nu,
+                    mgrid)
         e = dims.cd + dims.s1 + dims.s2
         eps = jax.vmap(
             lambda k: jax.random.normal(k, (b, e), jnp.float32))(rngs)
@@ -278,8 +391,7 @@ def make_fused_ensemble_epoch(cfg, model, mesh: Mesh,
             params, opt_state.count, opt_state.mu, opt_state.nu,
             x1s, x2s, rngs)
         new_state = FlatAdamState(count=cnt, mu=mu, nu=nu)
-        metrics = {name: mgrid[:, :, j]
-                   for j, name in enumerate(metric_names(model))}
+        metrics = {name: mgrid[:, :, j] for j, name in enumerate(mnames)}
         return new_p, new_state, mgrid[:, :, 0], metrics
 
     ens_sh = NamedSharding(mesh, P("model"))

@@ -361,7 +361,8 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                 # autodiff-in-Pallas epoch kernel (any method/architecture)
                 fused_scan_fn = _fg.make_generic_fused_epoch(
                     cfg, exp.model, interpret=interpret)
-        elif (_fs.supports_fused(cfg, exp.model, example)
+        elif ((_fs.supports_fused(cfg, exp.model, example)
+               or _fm.supports_method_fused(cfg, exp.model, example))
               and cfg.batch_size % cfg.data_parallel == 0):
             # data-parallel keeps the Pallas kernel: per-step fwd+bwd on
             # each device's row slice under shard_map, gradient psum over
@@ -432,9 +433,11 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
     mesh = ensemble_mesh(cfg)
     ens_scan_fn = None
     if cfg.fused_training and mesh is not None:
+        from ..ops import fused_methods as _fm
         from ..ops import fused_step as _fs
         example = {m.name: None for m in exp.model.modalities}
-        if _fs.supports_fused(cfg, exp.model, example):
+        if (_fs.supports_fused(cfg, exp.model, example)
+                or _fm.supports_method_fused(cfg, exp.model, example)):
             # members shard over the model axis and each runs the
             # resident-VMEM Pallas epoch kernel — full single-chip kernel
             # speed per member, zero collectives (the members are

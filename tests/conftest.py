@@ -10,6 +10,10 @@ not yet initialized at conftest-import time).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# silence XLA:CPU AOT cache-load feature-mismatch E-spam (pseudo-features
+# like +prefer-no-scatter differ between compile and host feature lists on
+# the SAME machine; execution is fine, the log is per-cache-hit noise)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 

@@ -28,7 +28,7 @@ B = 48
 N_STEPS = 3
 
 
-def make_cfg(**kw):
+def make_cfg(method="joint_elbo", **kw):
     kw.setdefault("input_dim", [7, 36])
     kw.setdefault("style_dim", [3, 5])
     kw.setdefault("beta", 1.3)
@@ -36,7 +36,7 @@ def make_cfg(**kw):
     kw.setdefault("beta_content", 1.9)
     kw.setdefault("learn_output_scale", True)
     kw.setdefault("batch_size", B)
-    cfg = Config(method="joint_elbo", class_dim=6, hidden_dim=32,
+    cfg = Config(method=method, class_dim=6, hidden_dim=32,
                  num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
                  **kw)
     return cfg.derive()
@@ -120,6 +120,60 @@ class TestEnsembleEpochKernel:
         with pytest.raises(ValueError, match="mesh model axis|divisible"):
             fn(stack3(params), stack3(opt_state), grid,
                jnp.stack([rngs] * 3))
+
+
+class TestMethodKernelsOnMesh:
+    """moe/poe/jsd (and dropout) keep kernel speed on meshes too: the
+    method kernel composes with the DP per-step psum path and runs
+    per-member on the ensemble axis."""
+
+    @pytest.mark.parametrize("method,drop", [("moe", 0.0)])
+    def test_dp_and_ensemble_match_single_device(self, method, drop):
+        self._check(method, drop)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("method,drop", [("poe", 0.0), ("jsd", 0.0),
+                                             ("moe", 0.3)])
+    def test_dp_and_ensemble_match_single_device_slow(self, method, drop):
+        self._check(method, drop)
+
+    def _check(self, method, drop):
+        from multivae_tpu.ops.fused_methods import make_method_fused_epoch
+
+        rng = np.random.default_rng(0)
+        cfg = make_cfg(method=method, dropout_rate=drop)
+        model = build_model(cfg, make_modalities(
+            cfg.input_dim, cfg.style_dim, cfg.likelihood))
+        batch = {
+            "clinical": jnp.asarray(rng.normal(size=(B, cfg.input_dim[0]))
+                                    .astype(np.float32)),
+            "rois": jnp.asarray(rng.normal(size=(B, cfg.input_dim[1]))
+                                .astype(np.float32)),
+        }
+        params, opt_state = init_train_state(cfg, model, batch)
+        batches = {k: jnp.stack([v] * N_STEPS) for k, v in batch.items()}
+        rngs = jax.random.split(jax.random.PRNGKey(0), N_STEPS)
+        ref_fn = make_method_fused_epoch(cfg, model, interpret=True)
+        p_ref, _, l_ref, m_ref = ref_fn(params, opt_state, batches, rngs)
+
+        dp_fn = make_fused_dp_scan_train_step(cfg, model, data_mesh(4),
+                                              interpret=True)
+        p_dp, _, l_dp, m_dp = dp_fn(params, opt_state, batches, rngs)
+        np.testing.assert_allclose(np.asarray(l_dp), np.asarray(l_ref),
+                                   rtol=2e-5)
+        assert _max_diff(p_dp, p_ref) < 1e-5
+        assert set(m_dp) == set(m_ref)
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+        ens_fn = make_fused_ensemble_epoch(cfg, model, mesh, interpret=True)
+        stack = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * 2), t)
+        grid = {k: jnp.stack([v] * 2) for k, v in batches.items()}
+        p_e, _, l_e, m_e = ens_fn(stack(params), stack(opt_state), grid,
+                                  jnp.stack([rngs] * 2))
+        member = jax.tree_util.tree_map(lambda x: x[0], p_e)
+        assert _max_diff(member, p_ref) == 0.0
+        assert set(m_e) == set(m_ref)
 
 
 @pytest.mark.slow
