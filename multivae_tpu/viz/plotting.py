@@ -241,3 +241,104 @@ def plot_radar(values, labels, title, save_path: Optional[str] = None,
         fig.savefig(save_path)
         print_result(f"radar plot: {save_path}")
     return fig
+
+
+def plot_parcats(flows, left_labels, right_labels,
+                 save_path: Optional[str] = None, ax=None, title=None,
+                 gap_frac: float = 0.25, figsize=(9, 6),
+                 left_title="score", right_title="roi"):
+    """Parallel-categories flow diagram (sankey-style) in pure matplotlib.
+
+    True equivalent of the reference's plotly ``Parcats`` score->ROI figure
+    (``workflow.py:1091-1121``) without the plotly dependency: two columns
+    of category bars whose heights are proportional to their total flow,
+    connected by cubic-Bezier bands with width proportional to each flow's
+    weight and color carrying its sign/category.
+
+    ``flows``: iterable of ``(left_idx, right_idx, weight, color)`` with
+    positive weights (use color to encode sign).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+    from matplotlib.path import Path as MplPath
+    import matplotlib.patches as mpatches
+
+    flows = [(int(li), int(ri), float(w), c) for li, ri, w, c in flows]
+    n_l, n_r = len(left_labels), len(right_labels)
+    tot_l = np.zeros(n_l)
+    tot_r = np.zeros(n_r)
+    for li, ri, w, _ in flows:
+        tot_l[li] += w
+        tot_r[ri] += w
+    total = max(tot_l.sum(), 1e-12)
+
+    def node_layout(tots):
+        """Stack active nodes with uniform gaps; heights ∝ total flow."""
+        active = [i for i, t in enumerate(tots) if t > 0]
+        n_gaps = max(len(active) - 1, 1)
+        gap = gap_frac / n_gaps
+        y = 0.0
+        span = {}
+        for i in active:
+            h = (1.0 - gap_frac) * tots[i] / total
+            span[i] = (y, y + h)
+            y += h + gap
+        scale = 1.0 / max(y - gap, 1e-12)
+        return {i: (lo * scale, hi * scale) for i, (lo, hi) in span.items()}
+
+    span_l = node_layout(tot_l)
+    span_r = node_layout(tot_r)
+
+    # per-node running offsets; order bands by the OTHER side's position to
+    # minimize crossings inside each node
+    off_l = {i: span_l[i][0] for i in span_l}
+    off_r = {i: span_r[i][0] for i in span_r}
+    created = ax is None
+    if created:
+        fig, ax = plt.subplots(figsize=figsize)
+    else:
+        fig = ax.figure
+    x0, x1 = 0.08, 0.92
+    for li, ri, w, color in sorted(
+            flows, key=lambda f: (span_l[f[0]][0], span_r[f[1]][0])):
+        h_l = (span_l[li][1] - span_l[li][0]) * w / tot_l[li]
+        h_r = (span_r[ri][1] - span_r[ri][0]) * w / tot_r[ri]
+        ya0, ya1 = off_l[li], off_l[li] + h_l
+        yb0, yb1 = off_r[ri], off_r[ri] + h_r
+        off_l[li] = ya1
+        off_r[ri] = yb1
+        xm = (x0 + x1) / 2.0
+        verts = [(x0, ya0), (xm, ya0), (xm, yb0), (x1, yb0),
+                 (x1, yb1), (xm, yb1), (xm, ya1), (x0, ya1), (x0, ya0)]
+        codes = [MplPath.MOVETO, MplPath.CURVE4, MplPath.CURVE4,
+                 MplPath.CURVE4, MplPath.LINETO, MplPath.CURVE4,
+                 MplPath.CURVE4, MplPath.CURVE4, MplPath.CLOSEPOLY]
+        ax.add_patch(mpatches.PathPatch(MplPath(verts, codes),
+                                        facecolor=color, edgecolor="none",
+                                        alpha=0.55))
+    bar_w = 0.015
+    for i, (lo, hi) in span_l.items():
+        ax.add_patch(Rectangle((x0 - bar_w, lo), bar_w, hi - lo,
+                               facecolor="0.25", edgecolor="none"))
+        ax.text(x0 - 2 * bar_w, (lo + hi) / 2, str(left_labels[i]),
+                ha="right", va="center", fontsize=8)
+    for i, (lo, hi) in span_r.items():
+        ax.add_patch(Rectangle((x1, lo), bar_w, hi - lo,
+                               facecolor="0.25", edgecolor="none"))
+        ax.text(x1 + 2 * bar_w, (lo + hi) / 2, str(right_labels[i]),
+                ha="left", va="center", fontsize=8)
+    ax.text(x0 - bar_w / 2, 1.03, left_title, ha="center", fontsize=10)
+    ax.text(x1 + bar_w / 2, 1.03, right_title, ha="center", fontsize=10)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(-0.02, 1.08)
+    ax.axis("off")
+    if title:
+        ax.set_title(title)
+    if save_path:
+        fig.tight_layout()
+        fig.savefig(save_path, dpi=150)
+        plt.close(fig)
+        print_result(f"parallel-categories flow: {save_path}")
+    return fig

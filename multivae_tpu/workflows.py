@@ -384,12 +384,15 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
                    save_path=filename)
 
         if plot_associations:
-            # score -> roi flow (reference uses a plotly Parcats diagram,
-            # workflow.py:1091-1121); rendered as a bipartite line plot
+            # score -> roi flow: a true parallel-categories (sankey-style)
+            # equivalent of the reference's plotly Parcats diagram
+            # (workflow.py:1091-1121) — Bezier bands, width ∝ |coef|,
+            # color by sign — in pure matplotlib (viz.plotting.plot_parcats)
+            from .viz.plotting import plot_parcats
             for _metric, _df in df.groupby("metric"):
-                fig, ax = plt.subplots(figsize=(8, max(4, 0.3 * len(_df))))
                 scores_u = sorted(_df["score"].unique().tolist())
                 rois_u = sorted(_df["roi"].unique().tolist())
+                flows = []
                 for _, row in _df.iterrows():
                     score_idx = clinical_names.index(row["score"])
                     roi_idx = rois_names.index(f"{row['roi']}_{_metric}")
@@ -397,22 +400,16 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
                         coef = coefs[:, :, score_idx, roi_idx].mean()
                     else:
                         coef = coefs[:, score_idx, roi_idx].mean()
-                    y0 = scores_u.index(row["score"])
-                    y1 = rois_u.index(row["roi"])
-                    ax.plot([0, 1], [y0, y1],
-                            color="red" if coef > 0 else "blue",
-                            alpha=0.4, lw=1 + 4 * abs(coef))
-                ax.set_yticks(range(len(scores_u)), labels=scores_u)
-                ax2 = ax.twinx()
-                ax2.set_yticks(range(len(rois_u)), labels=rois_u)
-                ax2.set_ylim(-0.5, max(len(rois_u), len(scores_u)) - 0.5)
-                ax.set_ylim(-0.5, max(len(rois_u), len(scores_u)) - 0.5)
-                ax.set_xticks([])
-                filename = os.path.join(dirname,
-                                        f"score2roi_{_metric}_flow.png")
-                fig.tight_layout()
-                fig.savefig(filename)
-                plt.close(fig)
+                    flows.append((scores_u.index(row["score"]),
+                                  rois_u.index(row["roi"]), abs(coef),
+                                  "#c0392b" if coef > 0 else "#2980b9"))
+                short_u = [short_names.get(str(s), str(s))
+                           for s in scores_u]
+                plot_parcats(
+                    flows, short_u, rois_u,
+                    save_path=os.path.join(
+                        dirname, f"score2roi_{_metric}_flow.png"),
+                    title=f"score → ROI associations ({_metric})")
                 print_result(f"flow for the {_metric} metric: {filename}")
 
 

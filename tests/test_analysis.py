@@ -105,10 +105,16 @@ class TestRsa:
 
 class TestPlotsAndPosthoc:
     def test_daa_plots(self, pipeline):
+        import glob as _glob
+
         datasetdir, outdir, run, resdir, _ = pipeline
         wf.daa_plot_most_connected("synthetic", datasetdir, outdir, run,
                                    trust_level=0.3, plot_associations=True)
         sig = pd.read_table(os.path.join(resdir, "significant_rois.tsv"))
+        if len(sig):
+            # the parallel-categories flow (plotly-Parcats equivalent)
+            flows = _glob.glob(os.path.join(resdir, "score2roi_*_flow.png"))
+            assert flows and all(os.path.getsize(f) > 5000 for f in flows)
         if len(sig):
             score, metric = sig.iloc[0][["score", "metric"]]
             wf.daa_plot_score_metric("synthetic", datasetdir, outdir, run,

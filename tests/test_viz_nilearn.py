@@ -86,3 +86,29 @@ class TestRealNilearn:  # pragma: no cover - runs only where nilearn exists
         vp.plot_areas(["G_precentral_lh"], np.array([1.0]),
                       save_path=str(out))
         assert out.exists()
+
+
+class TestParcats:
+    """Parallel-categories flow renderer (the plotly-Parcats equivalent)."""
+
+    def test_renders_and_conserves_flow(self, tmp_path):
+        flows = [(0, 0, 0.8, "#c0392b"), (0, 1, 0.4, "#2980b9"),
+                 (1, 1, 0.5, "#c0392b"), (2, 0, 0.3, "#2980b9"),
+                 (2, 2, 0.9, "#c0392b")]
+        path = str(tmp_path / "parcats.png")
+        fig = vp.plot_parcats(flows, ["s0", "s1", "s2"],
+                              ["r0", "r1", "r2"], save_path=path)
+        import os
+        assert os.path.getsize(path) > 5000
+        # every flow is drawn as one band patch + 6 node bars
+        import matplotlib.patches as mp
+        bands = [p for p in fig.axes[0].patches
+                 if isinstance(p, mp.PathPatch)]
+        assert len(bands) == len(flows)
+
+    def test_skips_empty_nodes(self, tmp_path):
+        # a label with zero flow gets no bar and no crash
+        flows = [(0, 1, 1.0, "red")]
+        fig = vp.plot_parcats(flows, ["a", "b"], ["x", "y"],
+                              save_path=str(tmp_path / "p.png"))
+        assert fig is not None
