@@ -16,13 +16,27 @@ import os
 import sys
 from typing import Callable, Dict, Sequence
 
-# persistent XLA compilation cache: kernels (especially the Pallas epoch
-# kernels) take ~30 s to compile through the remote-compile relay; caching
-# makes repeat CLI invocations start fast. Must be set before jax initializes.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "multivae_tpu_jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for CLI invocations.
+
+    The jitted programs (especially the Pallas epoch kernels and the DAA
+    sweep) cost ~30-100 s of remote compile through the relay per fresh
+    process; with the cache, repeat workflow invocations skip straight to
+    execution. NOTE: the ``JAX_COMPILATION_CACHE_DIR`` env-var spelling is
+    silently ignored by this jax build ("cache is disabled/not
+    initialized") — ``jax.config.update`` is required.
+    """
+    cache_dir = os.environ.get(
+        "MULTIVAE_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "multivae_tpu_jax"))
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block the CLI on it
 
 
 def _add_args_from_signature(parser: argparse.ArgumentParser,
@@ -91,6 +105,7 @@ def _commands() -> Dict[str, Callable]:
 
 def main(argv: Sequence[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="multivae_tpu",
         description="TPU-native multimodal-VAE training and "
