@@ -46,6 +46,8 @@ class Config:
     initial_out_logvar: float = -3.0
     learn_output_scale: bool = True
     learn_output_sample_scale: bool = False
+    # reference-surface no-op (never consumed by the reference's active
+    # paths either: set in workflow.py:111 and read nowhere)
     include_prior_expert: bool = False
 
     # training
@@ -59,6 +61,7 @@ class Config:
     beta: float = 1.0
     beta_style: float = 1.0
     beta_content: float = 1.0
+    # reference-surface no-op (workflow.py:111 sets it; nothing reads it)
     kl_annealing: int = 0
     poe_unimodal_elbos: bool = True
     # accepted for reference-CLI compatibility but a documented NO-OP: the
