@@ -31,13 +31,22 @@ B = 48
 METHODS = ("joint_elbo", "moe", "jsd", "poe")
 
 
-def make_setup(method):
+_SETUP_CACHE = {}
+
+
+def make_setup(method, dropout_rate=0.0):
+    """Built setups are cached per (method, dropout) — model init is a
+    multi-second trace+compile and several test classes share it. Callers
+    must NOT mutate the returned cfg/model."""
+    key = (method, dropout_rate)
+    if key in _SETUP_CACHE:
+        return _SETUP_CACHE[key]
     rng = np.random.default_rng(0)
     cfg = Config(method=method, input_dim=[7, 36], style_dim=[3, 5],
                  class_dim=6, hidden_dim=32, num_hidden_layer_encoder=1,
                  num_hidden_layer_decoder=0, beta=1.3, beta_style=0.7,
                  beta_content=1.9, learn_output_scale=True,
-                 batch_size=B).derive()
+                 dropout_rate=dropout_rate, batch_size=B).derive()
     model = build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
                                              cfg.likelihood))
     batch = {
@@ -47,7 +56,8 @@ def make_setup(method):
     params, opt_state = init_train_state(cfg, model, batch)
     noise = jnp.asarray(rng.normal(size=(B, fm.noise_width(cfg)))
                         .astype(np.float32))
-    return cfg, model, batch, params, opt_state, noise
+    _SETUP_CACHE[key] = (cfg, model, batch, params, opt_state, noise)
+    return _SETUP_CACHE[key]
 
 
 def general_loss(cfg, model, params, batch, noise):
@@ -152,8 +162,7 @@ class TestDropout:
     streamed pre-scaled keep masks reproduce flax Dropout's law."""
 
     def test_supported_with_dropout(self):
-        cfg, model, batch, *_ = make_setup("moe")
-        cfg.dropout_rate = 0.3
+        cfg, model, batch, *_ = make_setup("moe", dropout_rate=0.3)
         assert fm.supports_method_fused(cfg, model, batch)
 
     @pytest.mark.parametrize("method", ["joint_elbo", "poe"])
@@ -161,8 +170,8 @@ class TestDropout:
         """Initial-loss distribution over dropout draws matches the general
         path's (same params, fresh masks each side)."""
 
-        cfg, model, batch, params, opt_state, _ = make_setup(method)
-        cfg.dropout_rate = 0.4
+        cfg, model, batch, params, opt_state, _ = make_setup(
+            method, dropout_rate=0.4)
         fn = fm.make_method_fused_epoch(cfg, model, interpret=True)
         batches = {k: v[None] for k, v in batch.items()}
         k_losses = []
@@ -186,8 +195,8 @@ class TestDropout:
         assert abs(km - gm) < max(4 * sem, 0.02 * abs(gm)), (km, gm, sem)
 
     def test_dropout_training_progresses(self):
-        cfg, model, batch, params, opt_state, _ = make_setup("moe")
-        cfg.dropout_rate = 0.2
+        cfg, model, batch, params, opt_state, _ = make_setup(
+            "moe", dropout_rate=0.2)
         n_steps = 30
         batches = {k: jnp.stack([v] * n_steps) for k, v in batch.items()}
         rngs = jax.random.split(jax.random.PRNGKey(0), n_steps)
