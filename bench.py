@@ -35,11 +35,19 @@ AVATAR_SAMPLES = 150  # per-score decode sweep size for the avatars metric
 # --------------------------------------------------------------------------
 # JAX path
 # --------------------------------------------------------------------------
-def bench_jax():
+def bench_jax(deadline_s: float = 330.0):
+    """Measure on the default backend; stop adding measurement windows
+    once ``deadline_s`` of wall clock has elapsed (the shared-pool relay
+    can stall for minutes — the driver must always get its JSON line)."""
     import os
 
     import jax
     import jax.numpy as jnp
+
+    bench_t0 = time.perf_counter()
+
+    def time_left():
+        return deadline_s - (time.perf_counter() - bench_t0)
 
     # persistent compile cache: the three jitted programs (two epoch
     # kernels + the avatar sweep) cost minutes of remote compile through
@@ -111,11 +119,18 @@ def bench_jax():
                 params, opt_state, window * reps + i + 1)
         _ = float(losses[-1])
         best = max(best, reps * chunk / (time.perf_counter() - t0))
+        if window >= 1 and time_left() < deadline_s * 0.5:
+            break  # keep budget for the remaining stages
     train_sps = best
     assert np.isfinite(np.asarray(losses)).all()
 
     # secondary: a non-flagship method (moe) on the method-dispatched
-    # fused kernel (ops/fused_methods.py) — one measurement window
+    # fused kernel (ops/fused_methods.py); skipped entirely when the
+    # primary stage ate the budget (its compile alone can cost a minute)
+    moe_sps = None
+    if time_left() < deadline_s * 0.35:
+        return _avatar_stage(jax, jnp, rng, model, params, batch, cfg,
+                             train_sps, moe_sps)
     from multivae_tpu.ops.fused_methods import make_method_fused_epoch
 
     cfg_moe = Config(method="moe", input_dim=list(DIMS),
@@ -143,9 +158,18 @@ def bench_jax():
                                  chunk))
         _ = float(lm[-1])
         moe_sps = max(moe_sps, reps * chunk / (time.perf_counter() - t0))
+        if time_left() < deadline_s * 0.25:
+            break
 
-    # avatar decode throughput: one (sample x score) sweep over a 50-subject
-    # batch (workflow.py:406-419 inner loops), fused Pallas path
+    return _avatar_stage(jax, jnp, rng, model, params, batch, cfg,
+                         train_sps, moe_sps)
+
+
+def _avatar_stage(jax, jnp, rng, model, params, batch, cfg, train_sps,
+                  moe_sps):
+    """Avatar decode throughput: one (sample x score) sweep over a
+    50-subject batch (workflow.py:406-419 inner loops), fused Pallas
+    path."""
     from multivae_tpu.analysis.daa import avatar_sweep
     data = {k: v[:50] for k, v in batch.items()}
     grid = jnp.asarray(rng.normal(size=(AVATAR_SAMPLES, 50, DIMS[0]))
@@ -263,9 +287,10 @@ def main():
         "vs_baseline": round(train_sps / torch_sps, 3),
         "baseline_torch_cpu_steps_per_sec": round(torch_sps, 3),
         "avatars_per_sec": round(avatars_per_sec, 1),
-        "moe_method_kernel_steps_per_sec": round(moe_sps, 3),
         "config": "joint_elbo b256 dims(7,444) latent20 style(3,20)",
     }
+    if moe_sps:
+        result["moe_method_kernel_steps_per_sec"] = round(moe_sps, 3)
     print(json.dumps(result))
 
 
