@@ -402,10 +402,12 @@ class TestCliNewFlags:
         monkeypatch.setattr("multivae_tpu.workflows.daa_exp", fake_daa)
         cli.main(["daa", "--dataset", "synthetic", "--datasetdir", "/d",
                   "--outdir", "/o", "--run", "r", "--use-sharding", "false",
-                  "--exact-reconstruction", "false", "--M", "32"])
+                  "--exact-reconstruction", "false", "--M", "32",
+                  "--fetch-dtype", "float32"])
         assert seen["use_sharding"] == "false"
         assert seen["exact_reconstruction"] == "false"
         assert seen["M"] == 32
+        assert seen["fetch_dtype"] == "float32"
 
     def test_ensemble_parallel_string_normalizes_in_config(self):
         from multivae_tpu.train.config import Config
