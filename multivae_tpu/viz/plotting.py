@@ -265,7 +265,10 @@ def plot_parcats(flows, left_labels, right_labels,
     from matplotlib.path import Path as MplPath
     import matplotlib.patches as mpatches
 
-    flows = [(int(li), int(ri), float(w), c) for li, ri, w, c in flows]
+    # zero-weight flows carry no band and would reference nodes the layout
+    # (rightly) omits — drop them up front
+    flows = [(int(li), int(ri), float(w), c) for li, ri, w, c in flows
+             if float(w) > 0.0]
     n_l, n_r = len(left_labels), len(right_labels)
     tot_l = np.zeros(n_l)
     tot_r = np.zeros(n_r)

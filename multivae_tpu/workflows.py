@@ -405,12 +405,12 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
                                   "#c0392b" if coef > 0 else "#2980b9"))
                 short_u = [short_names.get(str(s), str(s))
                            for s in scores_u]
+                flow_path = os.path.join(
+                    dirname, f"score2roi_{_metric}_flow.png")
                 plot_parcats(
-                    flows, short_u, rois_u,
-                    save_path=os.path.join(
-                        dirname, f"score2roi_{_metric}_flow.png"),
+                    flows, short_u, rois_u, save_path=flow_path,
                     title=f"score → ROI associations ({_metric})")
-                print_result(f"flow for the {_metric} metric: {filename}")
+                print_result(f"flow for the {_metric} metric: {flow_path}")
 
 
 def daa_plot_score_metric(dataset, datasetdir, outdir, run, score, metric,

@@ -13,7 +13,6 @@ sys.path.insert(0, "/root/repo")
 
 from multivae_tpu.parallel import (
     batch_sharding,
-    ensemble_batch_sharding,
     make_mesh,
     shard_batch,
 )

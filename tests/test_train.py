@@ -15,7 +15,6 @@ from multivae_tpu.train.train_step import (
     init_train_state,
     make_ensemble_train_step,
     make_eval_step,
-    make_optimizer,
     make_train_step,
 )
 

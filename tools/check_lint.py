@@ -26,24 +26,27 @@ def iter_files(root: pathlib.Path):
 
 def unused_imports(path: pathlib.Path, tree: ast.AST, src: str):
     lines = src.splitlines()
-    imports = {}
+    imports = {}  # name -> (lineno, end_lineno) of its whole statement
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for a in node.names:
-                imports[(a.asname or a.name).split(".")[0]] = node.lineno
+                imports[(a.asname or a.name).split(".")[0]] = (
+                    node.lineno, node.end_lineno)
         elif isinstance(node, ast.ImportFrom):
             for a in node.names:
                 if a.name == "*":
                     continue
                 name = a.asname or a.name
                 if name != "annotations":
-                    imports[name] = node.lineno
+                    imports[name] = (node.lineno, node.end_lineno)
     out = []
-    for name, lineno in imports.items():
-        if "noqa" in lines[lineno - 1]:
+    for name, (lineno, end_lineno) in imports.items():
+        stmt = range(lineno - 1, (end_lineno or lineno))
+        if any("noqa" in lines[i] for i in stmt):
             continue
-        body = "\n".join(ln for i, ln in enumerate(lines)
-                         if i != lineno - 1)
+        # exclude EVERY line of the (possibly parenthesized multi-line)
+        # import statement from the usage scan
+        body = "\n".join(ln for i, ln in enumerate(lines) if i not in stmt)
         if not re.search(rf"\b{re.escape(name)}\b", body):
             out.append(f"{path}:{lineno}: F401 unused import '{name}'")
     return out
