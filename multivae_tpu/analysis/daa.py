@@ -111,8 +111,8 @@ def reconstruction_stats(model, params, data, M: int, rng,
     """
     if exact is True:
         if cfg is not None:
-            from ..ops.fused_step import supports_fused
-            if not supports_fused(cfg, model, data):
+            from ..ops.fused_daa import supports_fused_sweep
+            if not supports_fused_sweep(cfg, model, data):
                 # E[decoder(z)] != decoder(E[z]) once the decoder is
                 # nonlinear — the closed form is only valid on the linear
                 # flagship family
@@ -122,8 +122,11 @@ def reconstruction_stats(model, params, data, M: int, rng,
                     "estimator (exact_reconstruction=False) instead")
         return analytic_reconstruction_stats(model, params, data)
     if exact != False and cfg is not None:  # noqa: E712  ("auto" path)
-        from ..ops.fused_step import supports_fused
-        if supports_fused(cfg, model, data):
+        # the closed form holds for every method: the joint latent mean is
+        # deterministic (the mixture partition is a static row map) and the
+        # flagship decoders are linear — E[decode(z)] = decode(E[z])
+        from ..ops.fused_daa import supports_fused_sweep
+        if supports_fused_sweep(cfg, model, data):
             return analytic_reconstruction_stats(model, params, data)
 
     cache_key = (id(model), "mc", int(M), int(chunk))
@@ -162,9 +165,8 @@ def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
     reference's per-call ``model(modified_data)``.
     """
     if cfg is not None:
-        from ..ops.fused_step import supports_fused
-        if supports_fused(cfg, model, data):
-            from ..ops.fused_daa import fused_avatar_sweep
+        from ..ops.fused_daa import fused_avatar_sweep, supports_fused_sweep
+        if supports_fused_sweep(cfg, model, data):
             interpret = jax.default_backend() == "cpu"
             return fused_avatar_sweep(model, params, data, scores_values,
                                       sample_latents, rng, cfg,
@@ -239,8 +241,8 @@ def avatar_sweep_sharded(model, params, data, scores_values,
 
     fused = False
     if cfg is not None:
-        from ..ops.fused_step import supports_fused
-        fused = supports_fused(cfg, model, data)
+        from ..ops.fused_daa import supports_fused_sweep
+        fused = supports_fused_sweep(cfg, model, data)
 
     cell_sharding = NamedSharding(mesh, P("data"))
 
@@ -263,7 +265,8 @@ def avatar_sweep_sharded(model, params, data, scores_values,
 
         def shard_body(sp_repl, post_repl, cd, ep):
             return sweep_cells(sp_repl, post_repl, cd, ep, dims,
-                               sample_latents, interpret=interpret)
+                               sample_latents, interpret=interpret,
+                               method=cfg.method)
 
         # check_vma off: pallas_call out_shapes carry no vma annotation
         sweep = jax.jit(jax.shard_map(

@@ -12,9 +12,10 @@ grid over passes/cells:
   fusion, mixture selection, reparameterization and the ROI decoder
   (2 matmuls) execute.
 
-Supported under the same configuration as :mod:`multivae_tpu.ops.fused_step`
-(MoPoE flagship). Deterministic (``sample_latents=False``) outputs are tested
-to match the general path exactly.
+Supported for ALL FOUR methods on the flagship architecture
+(:func:`supports_fused_sweep` — the method only changes the joint-fusion
+block of the cell kernel). Deterministic (``sample_latents=False``) outputs
+are tested to match the general path exactly per method.
 """
 
 from __future__ import annotations
@@ -34,12 +35,24 @@ from .fused_step import (
     split_params,
 )
 
+
+def supports_fused_sweep(cfg, model, batch) -> bool:
+    """The decode sweep fuses for any method on the flagship architecture
+    (the method only selects the joint-fusion formula; decoding itself is
+    method-independent)."""
+    from .fused_methods import supports_method_fused
+    from .fused_step import supports_fused
+
+    return (supports_fused(cfg, model, batch)
+            or supports_method_fused(cfg, model, batch))
+
 ENC_NAMES = ("Wh", "bh", "Wcmu", "bcmu", "Wclv", "bclv",
              "Wsmu", "bsmu", "Wslv", "bslv")
 DEC_NAMES = ("Wds", "Wdc", "bd", "olv")
 
 
-def _avatar_kernel(dims: FusedDims, sample_latents: bool, pack: int, *refs):
+def _avatar_kernel(dims: FusedDims, sample_latents: bool, pack: int,
+                   method: str, *refs):
     """Grid over blocks of ``pack`` (sample, score) cells; decode ROI means.
 
     Packing widens every matmul from ``B`` to ``pack * B`` rows so the MXU
@@ -73,30 +86,54 @@ def _avatar_kernel(dims: FusedDims, sample_latents: bool, pack: int, *refs):
     t2 = 1.0 / (jnp.exp(clv2) + POE_EPS)
     tp = 1.0 / (1.0 + POE_EPS)
     ts = t1 + t2 + tp
-    mu_c = (cmu1 * t1 + cmu2 * t2) / ts
+    mu_c = (cmu1 * t1 + cmu2 * t2) / ts  # full-set PoE (+ prior expert)
 
     smu2 = smu2_ref[:]
     if sample_latents:
         # joint via deterministic mixture selection (inference sample=True);
         # the row partition repeats within each packed cell, so the mask is
-        # an iota modulo the per-cell batch size
+        # an iota modulo the per-cell batch size. The mixture components
+        # are method-selected (BaseMMVae.py:125-134): joint_elbo mixes both
+        # eps-adjusted singletons + the PoE; moe mixes the raw experts;
+        # jsd mixes the raw experts + a unit expert; poe IS the PoE.
         rows = jax.lax.broadcasted_iota(jnp.int32, (pack * dims.b, 1), 0)
         rows = jax.lax.rem(rows, dims.b)
-        m_a = (rows < k1).astype(jnp.float32)
-        m_b = jnp.logical_and(rows >= k1, rows < k2).astype(jnp.float32)
-        m_c = (rows >= k2).astype(jnp.float32)
-        joint_mu = m_a * cmu1 + m_b * cmu2 + m_c * mu_c
-        lv_a = jnp.log(jnp.exp(clv1) + POE_EPS)
-        lv_b = jnp.log(jnp.exp(clv2) + POE_EPS)
         lv_c = -jnp.log(ts)
-        joint_lv = m_a * lv_a + m_b * lv_b + m_c * lv_c
+        if method == "joint_elbo":
+            m_a = (rows < k1).astype(jnp.float32)
+            m_b = jnp.logical_and(rows >= k1, rows < k2).astype(jnp.float32)
+            m_c = (rows >= k2).astype(jnp.float32)
+            joint_mu = m_a * cmu1 + m_b * cmu2 + m_c * mu_c
+            lv_a = jnp.log(jnp.exp(clv1) + POE_EPS)
+            lv_b = jnp.log(jnp.exp(clv2) + POE_EPS)
+            joint_lv = m_a * lv_a + m_b * lv_b + m_c * lv_c
+        elif method == "moe":
+            kh = dims.b // 2
+            m_a = (rows < kh).astype(jnp.float32)
+            m_b = (rows >= kh).astype(jnp.float32)
+            joint_mu = m_a * cmu1 + m_b * cmu2
+            joint_lv = m_a * clv1 + m_b * clv2
+        elif method == "jsd":
+            m_a = (rows < k1).astype(jnp.float32)
+            m_b = jnp.logical_and(rows >= k1, rows < k2).astype(jnp.float32)
+            joint_mu = m_a * cmu1 + m_b * cmu2   # unit rows: mu = 0
+            joint_lv = m_a * clv1 + m_b * clv2   # unit rows: logvar = 0
+        else:  # poe
+            joint_mu, joint_lv = mu_c, lv_c
         eps = eps_ref[0]
         zc = joint_mu + eps[:, :cd] * jnp.exp(0.5 * joint_lv)
         zs2 = smu2 + eps[:, cd:] * jnp.exp(0.5 * slv2_ref[:])
     else:
-        # inference sample=False: joint is the MEAN over the subset mixture
-        # (BaseMMVae.py:227-229), styles at their means
-        zc = (cmu1 + cmu2 + mu_c) / 3.0
+        # inference sample=False: joint is the MEAN over the selected
+        # subset mixture (BaseMMVae.py:227-229), styles at their means
+        if method == "joint_elbo":
+            zc = (cmu1 + cmu2 + mu_c) / 3.0
+        elif method == "moe":
+            zc = (cmu1 + cmu2) / 2.0
+        elif method == "jsd":
+            zc = (cmu1 + cmu2) / 3.0  # + the zero-mean unit expert
+        else:  # poe
+            zc = mu_c
         zs2 = smu2
 
     loc = dot(zs2, d2p["Wds"][:]) + dot(zc, d2p["Wdc"][:]) \
@@ -118,7 +155,8 @@ def build_cell_grid(clinical, scores_values):
 
 def sweep_cells(sp, posteriors, cdata, eps, dims: FusedDims,
                 sample_latents: bool, interpret: bool = False,
-                cells_per_block: int | None = None):
+                cells_per_block: int | None = None,
+                method: str = "joint_elbo"):
     """Run the avatar grid kernel over prepared cells.
 
     ``sp``: split params; ``posteriors``: cell-invariant rois posteriors
@@ -155,7 +193,7 @@ def sweep_cells(sp, posteriors, cdata, eps, dims: FusedDims,
     stream_in = lambda d: pl.BlockSpec((1, pack * b, d),
                                        lambda i: (i, 0, 0))
 
-    kernel = partial(_avatar_kernel, dims, sample_latents, pack)
+    kernel = partial(_avatar_kernel, dims, sample_latents, pack, method)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -195,7 +233,8 @@ def fused_avatar_sweep(model, params, data, scores_values,
     cost one device dispatch each — eager execution would pay a relay
     round-trip per op."""
     names = [m.name for m in model.modalities]
-    key = (id(model), id(cfg), bool(sample_latents), bool(interpret))
+    key = (id(model), id(cfg), cfg.method, bool(sample_latents),
+           bool(interpret))
     cached = _sweep_jit_cache.get(key)
     if cached is None or cached[0] is not model:
         def _run(params, clinical, rois, scores_values, rng):
@@ -208,7 +247,8 @@ def fused_avatar_sweep(model, params, data, scores_values,
             eps = jax.random.normal(rng, (n_cells, b, dims.cd + dims.s2),
                                     jnp.float32)
             out = sweep_cells(sp, posteriors, cdata, eps, dims,
-                              sample_latents, interpret=interpret)
+                              sample_latents, interpret=interpret,
+                              method=cfg.method)
             # [n_cells, B, R] = [n_samples*n_scores, B, R]
             out = out.reshape(n_samples, n_scores, b, dims.d2)
             return jnp.transpose(out, (2, 1, 0, 3))

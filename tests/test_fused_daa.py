@@ -38,6 +38,43 @@ def setup():
     return cfg, model, params, data, scores
 
 
+class TestMethodDispatchedSweep:
+    """The cell kernel fuses for ALL FOUR methods (the method only selects
+    the joint-fusion block); deterministic outputs must match the general
+    per-cell model calls exactly."""
+
+    @pytest.mark.parametrize("method", ["moe", "jsd", "poe"])
+    def test_deterministic_matches_general(self, method):
+        from multivae_tpu.ops.fused_daa import supports_fused_sweep
+
+        cfg = Config(method=method, input_dim=[5, 24], class_dim=6,
+                     style_dim=[2, 4], hidden_dim=32,
+                     num_hidden_layer_encoder=1,
+                     num_hidden_layer_decoder=0,
+                     learn_output_scale=True).derive()
+        model = build_model(cfg, make_modalities(
+            cfg.input_dim, cfg.style_dim, cfg.likelihood))
+        data = {
+            "clinical": jnp.asarray(RNG.normal(size=(B, 5))
+                                    .astype(np.float32)),
+            "rois": jnp.asarray(RNG.normal(size=(B, 24))
+                                .astype(np.float32)),
+        }
+        params, _ = init_train_state(cfg, model, data)
+        assert supports_fused_sweep(cfg, model, data)
+        scores = jnp.asarray(RNG.normal(size=(4, B, 5)).astype(np.float32))
+        # general path WITHOUT cfg so it cannot itself take the fused route
+        general = avatar_sweep(model, params, data, scores,
+                               sample_latents=False,
+                               rng=jax.random.PRNGKey(0))
+        fused = fused_avatar_sweep(model, params, data, scores,
+                                   sample_latents=False,
+                                   rng=jax.random.PRNGKey(0), cfg=cfg,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(general),
+                                   rtol=2e-4, atol=1e-5)
+
+
 class TestFusedAvatarSweep:
     def test_deterministic_matches_general_exactly(self, setup):
         cfg, model, params, data, scores = setup
