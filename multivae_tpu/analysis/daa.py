@@ -358,8 +358,11 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
     the bytes and the values (standardized ROI decodes, O(1) scale) keep
     ~3 significant digits — regression outputs agree to tolerance. The
     on-disk artifact stays float32 (parity contract); use ``float32`` to
-    force an exact fetch. Transfers also overlap the next round's compute
-    (async host copy of round k while round k+1 decodes)."""
+    force an exact fetch. Each round's fetch is deferred until after the
+    next round's dispatch so compute and transfer overlap where the
+    platform allows (note: ``copy_to_host_async`` is a no-op through the
+    axon relay, so there the win is the halved bytes; on directly-attached
+    hosts the overlap is real)."""
     if sampling_strategy not in SAMPLING_STRATEGIES:
         raise ValueError("sampling_strategy must be either linear, uniform"
                          "gaussian or likelihood")
