@@ -29,9 +29,9 @@ def supports_generic_fused(cfg, model, batch) -> bool:
     names = [m.name for m in model.modalities]
     if not all(n in batch for n in names):
         return False
-    if cfg.dropout_rate != 0.0:
-        # dropout needs an in-kernel RNG stream (Mosaic lacks random_split)
-        return False
+    # dropout IS supported: flax's per-module threefry fold_in + bernoulli
+    # lower fine inside Mosaic with raw uint32 keys (verified on TPU); the
+    # per-step dropout key streams in alongside the reparam noise
     # jsd is supported too: its alpha-PoE weights are static numpy constants
     # (ops/fusion.py:alpha_poe), so no rank-changing reshape reaches Mosaic
     # conservative VMEM budget: params + states + one batch + activations
@@ -59,6 +59,7 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
     names = [m.name for m in model.modalities]
     lr, b1, b2, adam_eps = (cfg.initial_learning_rate, cfg.beta_1,
                             cfg.beta_2, 1e-8)
+    use_drop = float(cfg.dropout_rate) > 0.0
 
     def scan_steps(params, opt_state, batches, rngs):
         leaves, treedef = jax.tree_util.tree_flatten(params)
@@ -96,16 +97,24 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
 
         metric_names_box = []
 
-        def pure_step(p_leaves, batch_arrays, eps):
+        def pure_step(p_leaves, batch_arrays, eps, dkey):
             batch = {name: batch_arrays[i] for i, name in enumerate(names)}
             noise_main, noise_uni = split_noise(eps)
             p = jax.tree_util.tree_unflatten(treedef, p_leaves)
+            apply_kw = {}
+            drop_uni = None
+            if use_drop:
+                apply_kw["rngs"] = {"dropout": dkey}
+                if noise_uni is not None:
+                    drop_uni = {name: jax.random.fold_in(dkey, 100 + i)
+                                for i, name in enumerate(noise_uni)}
 
             def loss_fn(pp):
                 out = model.apply({"params": pp}, batch, train=True,
-                                  noise=noise_main)
+                                  noise=noise_main, **apply_kw)
                 return total_loss(cfg, model, {"params": pp}, batch, out,
-                                  None, train=True, noise_uni=noise_uni)
+                                  None, train=True, noise_uni=noise_uni,
+                                  dropout_rngs_uni=drop_uni)
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(p)
@@ -125,15 +134,16 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
         example_leaves = [jax.ShapeDtypeStruct(x.shape, x.dtype)
                           for x in leaves]
         example_kbits = jax.ShapeDtypeStruct((b, total_w), jnp.float32)
+        example_dkey = jax.ShapeDtypeStruct((2,), jnp.uint32)
         closed = jax.make_jaxpr(pure_step)(example_leaves, example_batch,
-                                           example_kbits)
+                                           example_kbits, example_dkey)
         consts = [jnp.asarray(c) for c in closed.consts]
         n_consts = len(consts)
         mnames = list(metric_names_box)
         n_met = len(mnames)
 
-        def converted(p_vals, batch_arrays, kbits, *const_vals):
-            flat_args = list(p_vals) + list(batch_arrays) + [kbits]
+        def converted(p_vals, batch_arrays, kbits, dkey, *const_vals):
+            flat_args = list(p_vals) + list(batch_arrays) + [kbits, dkey]
             return jax.core.eval_jaxpr(closed.jaxpr, list(const_vals),
                                        *flat_args)
 
@@ -141,12 +151,13 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
             i0 = len(names)
             x_refs = refs[:i0]
             key_ref = refs[i0]
-            cnt_ref = refs[i0 + 1]
-            p_in = refs[i0 + 2:i0 + 2 + n]
-            mu_in = refs[i0 + 2 + n:i0 + 2 + 2 * n]
-            nu_in = refs[i0 + 2 + 2 * n:i0 + 2 + 3 * n]
-            const_refs = refs[i0 + 2 + 3 * n:i0 + 2 + 3 * n + n_consts]
-            o0 = i0 + 2 + 3 * n + n_consts   # outputs follow all inputs
+            dk_ref = refs[i0 + 1]
+            cnt_ref = refs[i0 + 2]
+            p_in = refs[i0 + 3:i0 + 3 + n]
+            mu_in = refs[i0 + 3 + n:i0 + 3 + 2 * n]
+            nu_in = refs[i0 + 3 + 2 * n:i0 + 3 + 3 * n]
+            const_refs = refs[i0 + 3 + 3 * n:i0 + 3 + 3 * n + n_consts]
+            o0 = i0 + 3 + 3 * n + n_consts   # outputs follow all inputs
             loss_ref = refs[o0]
             p_out = refs[o0 + 1:o0 + 1 + n]
             mu_out = refs[o0 + 1 + n:o0 + 1 + 2 * n]
@@ -163,9 +174,12 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
 
             batch_arrays = [x_refs[i][0] for i in range(len(names))]
             eps = key_ref[0]
+            # per-step raw dropout key: scalars from SMEM
+            dkey = jnp.stack([dk_ref[step, 0], dk_ref[step, 1]])
             p_vals = [p_out[k][:] for k in range(n)]
             const_vals = [c[:] for c in const_refs]
-            outs_step = converted(p_vals, batch_arrays, eps, *const_vals)
+            outs_step = converted(p_vals, batch_arrays, eps, dkey,
+                                  *const_vals)
             loss = outs_step[0]
             mvals = outs_step[1:1 + n_met]
             g_leaves = outs_step[1 + n_met:]
@@ -187,11 +201,17 @@ def make_generic_fused_epoch(cfg, model, interpret: bool = False):
         whole = pl.BlockSpec(memory_space=pltpu.VMEM)
         stream = lambda d: pl.BlockSpec((1, b, d), lambda i: (i, 0, 0))
         cnt = jnp.asarray(opt_state.count, jnp.int32).reshape(1, 1)
+        # per-step dropout keys derived from the step keys (all-zero and
+        # unused when dropout is off — the jaxpr then ignores the arg)
+        dkeys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(rngs) \
+            if use_drop else jnp.zeros((n_steps, 2), jnp.uint32)
+        dkeys = jnp.asarray(dkeys, jnp.uint32)
         inputs = ([batches[name] for name in names]
-                  + [noise_all, cnt] + leaves + mu_leaves + nu_leaves
+                  + [noise_all, dkeys, cnt] + leaves + mu_leaves + nu_leaves
                   + list(consts))
         in_specs = ([stream(batches[name].shape[-1]) for name in names]
                     + [stream(total_w),
+                       pl.BlockSpec(memory_space=pltpu.SMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [whole] * (3 * n)
                     + [whole] * n_consts)

@@ -88,13 +88,17 @@ def _weighted_style_kld(model, cfg, klds_style) -> jnp.ndarray:
 
 
 def total_loss(cfg, model, variables, batch, results, rng, *,
-               train: bool = False, noise_uni=None):
+               train: bool = False, noise_uni=None,
+               dropout_rngs_uni=None):
     """Method-dispatched total loss (``basic_routine_epoch``,
     ``run_epochs.py:73-135``). Returns ``(loss, metrics)``.
 
     ``noise_uni`` optionally supplies explicit reparameterization draws for
     the poe unimodal re-runs (``{mod: [B, width]}``) so the whole loss stays
-    RNG-free — required inside Pallas kernels."""
+    RNG-free — required inside Pallas kernels. ``dropout_rngs_uni``
+    (``{mod: key}``) supplies the re-runs' dropout streams in that mode
+    when ``dropout_rate > 0`` (the reference's model re-run draws fresh
+    masks)."""
     log_probs, weighted_log_prob = calc_log_probs(model, batch,
                                                   results["rec"])
     group_divergence = results["joint_divergence"]
@@ -134,8 +138,13 @@ def total_loss(cfg, model, variables, batch, results, rng, *,
                 # (run_epochs.py:115-125)
                 uni_batch = {mod.name: batch[mod.name]}
                 if noise_uni is not None:
+                    kwargs = {}
+                    if (dropout_rngs_uni is not None
+                            and mod.name in dropout_rngs_uni):
+                        kwargs["rngs"] = {
+                            "dropout": dropout_rngs_uni[mod.name]}
                     r_mod = model.apply(variables, uni_batch, train=train,
-                                        noise=noise_uni[mod.name])
+                                        noise=noise_uni[mod.name], **kwargs)
                 else:
                     rng, sub = jax.random.split(rng)
                     r_mod = model.apply(

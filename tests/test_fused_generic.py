@@ -69,9 +69,67 @@ def test_unsupported_cases():
     cfg, model, batch, _, _ = setup("joint_elbo")
     assert not supports_generic_fused(cfg, model,
                                       {"clinical": batch["clinical"]})
+    # dropout is now SUPPORTED (streamed per-step keys; flax's threefry
+    # fold_in + bernoulli lower in Mosaic)
     cfg2, model2, batch2, _, _ = setup("moe")
     cfg2.dropout_rate = 0.5
-    assert not supports_generic_fused(cfg2, model2, batch2)
+    assert supports_generic_fused(cfg2, model2, batch2)
+
+
+class TestDropoutDeepArch:
+    """Deep-decoder + dropout configs (outside the split-layout kernels)
+    train on the generic kernel with in-kernel flax dropout."""
+
+    @pytest.mark.parametrize("method", ["joint_elbo", "poe"])
+    def test_statistical_parity_and_training(self, method):
+        from multivae_tpu.train.losses import total_loss
+        from multivae_tpu.train.train_step import init_train_state
+
+        rng = np.random.default_rng(0)
+        cfg = Config(method=method, input_dim=[5, 16], class_dim=4,
+                     style_dim=[2, 3], hidden_dim=16,
+                     num_hidden_layer_encoder=1,
+                     num_hidden_layer_decoder=1, dropout_rate=0.4,
+                     learn_output_scale=True, batch_size=B,
+                     initial_learning_rate=0.01).derive()
+        model = build_model(cfg, make_modalities(
+            cfg.input_dim, cfg.style_dim, cfg.likelihood))
+        batch = {"clinical": jnp.asarray(
+            rng.normal(size=(B, 5)).astype(np.float32)),
+            "rois": jnp.asarray(rng.normal(size=(B, 16))
+                                .astype(np.float32))}
+        params, opt_state = init_train_state(cfg, model, batch)
+        assert supports_generic_fused(cfg, model, batch)
+        fn = make_generic_fused_epoch(cfg, model, interpret=True)
+        single = {k: v[None] for k, v in batch.items()}
+        k_losses = []
+        for seed in range(20):
+            _, _, losses, _ = fn(params, opt_state, single,
+                                 jax.random.PRNGKey(seed)[None])
+            k_losses.append(float(losses[0]))
+
+        def gen_loss(seed):
+            rm, rl, rd = jax.random.split(jax.random.PRNGKey(1000 + seed),
+                                          3)
+            out = model.apply({"params": params}, batch, train=True,
+                              rngs={"sample": rm, "dropout": rd})
+            return float(total_loss(cfg, model, {"params": params}, batch,
+                                    out, rl, train=True)[0])
+
+        g_losses = [gen_loss(s) for s in range(20)]
+        km, gm = np.mean(k_losses), np.mean(g_losses)
+        sem = np.sqrt(np.var(k_losses) / 20 + np.var(g_losses) / 20)
+        assert abs(km - gm) < max(4 * sem, 0.02 * abs(gm)), (km, gm, sem)
+
+        # and a short run trains
+        n_steps = 20
+        batches = {k: jnp.stack([v] * n_steps) for k, v in batch.items()}
+        _, _, losses, _ = fn(params, opt_state, batches,
+                             jax.random.split(jax.random.PRNGKey(0),
+                                              n_steps))
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-5:].mean() < losses[:5].mean()
 
 
 def test_generic_kernel_emits_metric_families():

@@ -319,12 +319,16 @@ class TestResolveEnsemble:
         cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto")
         assert ensemble_mesh(cfg) is None
         assert resolve_ensemble(cfg, self._model(cfg)) is False
-        # dropout now rides the method kernel (fused) -> still sequential
+        # dropout now rides the method kernel (fused) -> still sequential;
+        # per-sample-scale + dropout rides the generic kernel -> ditto
+        for extra in ({"dropout_rate": 0.3},
+                      {"dropout_rate": 0.3,
+                       "learn_output_sample_scale": True}):
+            cfg = make_cfg("joint_elbo", num_models=3,
+                           ensemble_parallel="auto", **extra)
+            assert resolve_ensemble(cfg, self._model(cfg)) is False
+        # ...but a config NO kernel covers (params overflow the VMEM
+        # budget: a very wide block) goes parallel
         cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto",
-                       dropout_rate=0.3)
-        assert resolve_ensemble(cfg, self._model(cfg)) is False
-        # ...but a truly non-fusable config (per-sample output scale +
-        # dropout, which no kernel covers) goes parallel
-        cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto",
-                       dropout_rate=0.3, learn_output_sample_scale=True)
+                       input_dim=[7, 60000], dropout_rate=0.3)
         assert resolve_ensemble(cfg, self._model(cfg)) is True
