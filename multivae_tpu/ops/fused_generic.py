@@ -31,16 +31,12 @@ def supports_generic_fused(cfg, model, batch) -> bool:
         return False
     # dropout IS supported: flax's per-module threefry fold_in + bernoulli
     # lower fine inside Mosaic with raw uint32 keys (verified on TPU); the
-    # per-step dropout key streams in alongside the reparam noise
+    # per-step dropout key streams in alongside the reparam noise.
     # jsd is supported too: its alpha-PoE weights are static numpy constants
     # (ops/fusion.py:alpha_poe), so no rank-changing reshape reaches Mosaic
-    # conservative VMEM budget: params + states + one batch + activations
-    param_floats = 0
-    for m in model.modalities:
-        param_floats += (m.dim * cfg.hidden_dim + cfg.hidden_dim
-                         + cfg.hidden_dim * 2 * (cfg.class_dim + m.style_dim))
-        param_floats += (m.style_dim + cfg.class_dim) * m.dim + 2 * m.dim
-    return param_floats * 12 < 8e6  # p+mu+nu in & out, fp32
+    from .fused_step import vmem_budget_ok
+
+    return vmem_budget_ok(cfg, model)
 
 
 def make_generic_fused_epoch(cfg, model, interpret: bool = False):

@@ -104,9 +104,12 @@ def supports_method_fused(cfg, model, batch) -> bool:
     ~7 us kernel step) — chosen over ``pltpu.prng_*`` in-kernel draws so
     the path stays testable in interpret mode (no CPU lowering for the
     TPU PRNG primitives). Closes VERDICT round-2 Weak #5."""
+    from .fused_step import vmem_budget_ok
+
     names = [m.name for m in model.modalities]
     return (
-        cfg.method in METHODS
+        vmem_budget_ok(cfg, model)
+        and cfg.method in METHODS
         and len(model.modalities) == 2
         and all(n in batch for n in names)
         and cfg.num_hidden_layer_encoder == 1

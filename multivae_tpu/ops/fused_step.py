@@ -105,11 +105,24 @@ SPLIT_NAMES = tuple(
 )
 
 
+def vmem_budget_ok(cfg, model) -> bool:
+    """Whether params (+ Adam moments, in and out) fit the epoch kernels'
+    resident-VMEM budget (same heuristic as ``fused_generic``)."""
+    param_floats = 0
+    for m in model.modalities:
+        param_floats += (m.dim * cfg.hidden_dim + cfg.hidden_dim
+                         + cfg.hidden_dim * 2 * (cfg.class_dim
+                                                 + m.style_dim))
+        param_floats += (m.style_dim + cfg.class_dim) * m.dim + 2 * m.dim
+    return param_floats * 12 < 8e6
+
+
 def supports_fused(cfg, model, batch) -> bool:
     """Whether (cfg, model, batch) matches the specialized kernel."""
     names = [m.name for m in model.modalities]
     return (
-        cfg.method == "joint_elbo"
+        vmem_budget_ok(cfg, model)
+        and cfg.method == "joint_elbo"
         and len(model.modalities) == 2
         and all(n in batch for n in names)
         and cfg.num_hidden_layer_encoder == 1
