@@ -41,7 +41,7 @@ def _to_device(batch: Dict[str, np.ndarray]):
 def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
                     rng, log_every: int = 1, fused_scan_fn=None,
                     step_fn_remainder=None, shard_multiple: int = 1,
-                    epoch: int = 0):
+                    epoch: int = 0, remainder_scan_cache=None):
     cfg = exp.cfg
     dataset = exp.dataset_train
     sub_indices = None
@@ -87,22 +87,57 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
                 logger.write_training_logs(
                     {k: v[i] for k, v in metrics.items()})
 
-    for iteration, data in enumerate(general_batches):
+    # pre-draw the per-batch keys in enumeration order (the sequential rng
+    # stream), then run the remainder batches grouped by presence pattern —
+    # one scanned dispatch + one metric fetch per group instead of one of
+    # each per batch (per-batch dispatch ~10-25 ms and fetch ~25 ms through
+    # the relay dominate small-cohort epochs). Group order follows first
+    # appearance; like the fused-prefix split above, this reorders batches
+    # relative to the sampler's emission — any seeded order is valid SGD.
+    subs = []
+    for _ in general_batches:
         rng, sub = jax.random.split(rng)
-        n_rows = len(next(iter(data.values())))
-        fn = step_fn
-        if (step_fn_remainder is not None
-                and n_rows % shard_multiple != 0):
-            # a sharded batch axis must divide the mesh; remainder batches
-            # take the unsharded step
-            fn = step_fn_remainder
-        params, opt_state, loss, metrics = fn(
-            params, opt_state, _to_device(data), sub)
-        n_steps += 1
-        if logger is not None and iteration % log_every == 0:
-            # one host transfer for the whole metric dict (per-item
-            # np.asarray costs a ~2ms relay round-trip EACH)
-            logger.write_training_logs(jax.device_get(metrics))
+        subs.append(sub)
+    groups: Dict = {}
+    for i, data in enumerate(general_batches):
+        key = (tuple(sorted(data)), len(next(iter(data.values()))))
+        groups.setdefault(key, []).append(i)
+    for key, idx_list in groups.items():
+        if remainder_scan_cache is not None and len(idx_list) > 1:
+            scan_fn = remainder_scan_cache.get(key)
+            if scan_fn is None:
+                from .train_step import make_scan_train_step
+                scan_fn = make_scan_train_step(cfg, exp.model)
+                remainder_scan_cache[key] = scan_fn
+            stacked = {m: jax.numpy.asarray(
+                np.stack([general_batches[i][m] for i in idx_list]))
+                for m in key[0]}
+            rngs_g = jax.numpy.stack([subs[i] for i in idx_list])
+            params, opt_state, losses, metrics = scan_fn(
+                params, opt_state, stacked, rngs_g)
+            n_steps += len(idx_list)
+            if logger is not None:
+                metrics = jax.device_get(metrics)
+                for j in range(0, len(idx_list), log_every):
+                    logger.write_training_logs(
+                        {k: v[j] for k, v in metrics.items()})
+            continue
+        for i in idx_list:
+            data = general_batches[i]
+            n_rows = len(next(iter(data.values())))
+            fn = step_fn
+            if (step_fn_remainder is not None
+                    and n_rows % shard_multiple != 0):
+                # a sharded batch axis must divide the mesh; remainder
+                # batches take the unsharded step
+                fn = step_fn_remainder
+            params, opt_state, loss, metrics = fn(
+                params, opt_state, _to_device(data), subs[i])
+            n_steps += 1
+            if logger is not None and i % log_every == 0:
+                # one host transfer for the whole metric dict (per-item
+                # np.asarray costs a ~2ms relay round-trip EACH)
+                logger.write_training_logs(jax.device_get(metrics))
     exp.params[model_idx] = params
     exp.opt_states[model_idx] = opt_state
     return rng, n_steps
@@ -378,6 +413,9 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
             # instead of one ~2 ms dispatch per step
             from .train_step import make_scan_train_step
             fused_scan_fn = make_scan_train_step(cfg, exp.model, mesh=mesh)
+    # per-(presence pattern, rows) scanned remainder steps, compiled once
+    # per run and reused across epochs/members
+    remainder_scan_cache: Dict = {}
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),
@@ -393,7 +431,8 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                 exp, model_idx, step_fn, logger, rng, log_every,
                 fused_scan_fn=fused_scan_fn,
                 step_fn_remainder=step_fn_remainder,
-                shard_multiple=cfg.data_parallel, epoch=epoch)
+                shard_multiple=cfg.data_parallel, epoch=epoch,
+                remainder_scan_cache=remainder_scan_cache)
             rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng,
                                  epoch, scan_eval_fn=scan_eval_fn)
             if (profile_dir is not None and model_idx == 0

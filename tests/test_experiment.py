@@ -206,9 +206,11 @@ class TestEnsembleParallel:
 class TestScanFallback:
     @pytest.mark.slow
     def test_unsupported_config_uses_scan_epoch(self, tmp_path):
-        """Configs outside the Pallas kernels' envelope (here: dropout)
-        train through the lax.scan epoch fallback — full metric families
-        logged, loss decreases."""
+        """Configs outside the Pallas kernels' envelope train through the
+        lax.scan epoch fallback — full metric families logged, loss
+        decreases. Since the generic kernel now covers dropout and any
+        architecture, the remaining envelope is VMEM overflow (a wide
+        hidden layer here)."""
         from multivae_tpu.ops import fused_generic as _fg
         from multivae_tpu.ops import fused_step as _fs
         from multivae_tpu.train.trainer import run_epochs
@@ -217,11 +219,12 @@ class TestScanFallback:
         datasetdir = str(tmp_path / "data")
         outdir = str(tmp_path / "out")
         os.makedirs(outdir)
-        make_synthetic_cohort(datasetdir, n_subjects=80, n_scores=4,
-                              n_rois=16, missing_rate=0.1, seed=17)
+        make_synthetic_cohort(datasetdir, n_subjects=80, n_scores=64,
+                              n_rois=256, missing_rate=0.1, seed=17)
         cfg = Config(dataset="synthetic", datasetdir=datasetdir,
-                     dir_experiment=outdir, input_dim=[4, 16], class_dim=4,
-                     style_dim=[2, 2], end_epoch=5, batch_size=32,
+                     dir_experiment=outdir, input_dim=[64, 256],
+                     class_dim=4, style_dim=[2, 2], end_epoch=5,
+                     batch_size=32, hidden_dim=2048,
                      method="joint_elbo", dropout_rate=0.3).derive()
         create_dir_structure(cfg)
         exp = MultimodalExperiment(cfg)
