@@ -77,6 +77,11 @@ def _add_args_from_signature(parser: argparse.ArgumentParser,
         if name in ("input_dims", "style_dim"):
             kw["nargs"] = "+"
             kw["type"] = int
+        # hist-plot compares cohorts: aligned str lists (one score per
+        # cohort entry), like the reference's fire-parsed list args
+        if name in ("datasets", "datasetdirs", "scores"):
+            kw["nargs"] = "+"
+            kw["type"] = str
         if aliases:
             kw["dest"] = name
         parser.add_argument(flag, *aliases, **kw)

@@ -409,6 +409,30 @@ class TestCliNewFlags:
         assert seen["M"] == 32
         assert seen["fetch_dtype"] == "float32"
 
+    def test_hist_plot_accepts_cohort_lists(self, monkeypatch):
+        """hist-plot's aligned list args (one score per cohort entry,
+        ``workflow.py:823-868``) parse as multi-value flags."""
+        import inspect
+
+        from multivae_tpu import cli
+        from multivae_tpu import workflows as _wf
+
+        seen = {}
+
+        def fake_hist(**kw):
+            seen.update(kw)
+            return "hist.png"
+
+        fake_hist.__signature__ = inspect.signature(_wf.hist_plot_exp)
+        monkeypatch.setattr("multivae_tpu.workflows.hist_plot_exp",
+                            fake_hist)
+        cli.main(["hist-plot", "--datasets", "synthetic", "synthetic",
+                  "--datasetdirs", "/d1", "/d2",
+                  "--scores", "score_0", "score_1", "--outdir", "/o"])
+        assert seen["datasets"] == ["synthetic", "synthetic"]
+        assert seen["datasetdirs"] == ["/d1", "/d2"]
+        assert seen["scores"] == ["score_0", "score_1"]
+
     def test_ensemble_parallel_string_normalizes_in_config(self):
         from multivae_tpu.train.config import Config
         assert Config(ensemble_parallel="false").derive().ensemble_parallel \
