@@ -114,7 +114,13 @@ class TestSplitForwardParity:
 
 
 class TestMethodEpochKernel:
-    @pytest.mark.parametrize("method", METHODS)
+    @pytest.mark.parametrize("method", [
+        "joint_elbo", "poe",
+        # moe/jsd exercise the same epoch-scan plumbing; their exactness
+        # stays covered in the slow suite
+        pytest.param("moe", marks=pytest.mark.slow),
+        pytest.param("jsd", marks=pytest.mark.slow),
+    ])
     def test_matches_generic_fused_epoch(self, method):
         """Same noise column layout as the generic kernel -> step-for-step
         agreement of losses and trained params."""
@@ -165,10 +171,13 @@ class TestDropout:
         cfg, model, batch, *_ = make_setup("moe", dropout_rate=0.3)
         assert fm.supports_method_fused(cfg, model, batch)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("method", ["joint_elbo", "poe"])
     def test_statistical_parity_with_general_path(self, method):
         """Initial-loss distribution over dropout draws matches the general
-        path's (same params, fresh masks each side)."""
+        path's (same params, fresh masks each side). Slow: 25 independent
+        interpret-mode kernel dispatches per method; the fast suite keeps
+        the dropout smoke (``test_dropout_training_progresses``)."""
 
         cfg, model, batch, params, opt_state, _ = make_setup(
             method, dropout_rate=0.4)
