@@ -166,6 +166,79 @@ class TestResume:
         assert cfg.start_epoch == 6
 
 
+class TestRemainderGrouping:
+    def test_grouped_scan_matches_stepwise_replay(self, tmp_path):
+        """The per-(presence pattern, rows) grouped ``lax.scan`` over
+        remainder batches reproduces a stepwise replay of the same batches
+        in the same first-appearance group order with the same
+        enumeration-order keys."""
+        import jax.numpy as jnp
+
+        from multivae_tpu.data import MissingModalitySampler
+        from multivae_tpu.train.train_step import make_train_step
+        from multivae_tpu.train.trainer import train_one_epoch
+        from multivae_tpu.utils.filehandling import create_dir_structure
+
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=72, n_scores=4,
+                              n_rois=12, missing_rate=0.4, seed=5)
+        cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                     dir_experiment=outdir, input_dim=[4, 12], class_dim=4,
+                     style_dim=[2, 2], end_epoch=1, batch_size=16,
+                     method="joint_elbo").derive()
+        create_dir_structure(cfg)
+        exp = MultimodalExperiment(cfg)
+        exp.set_optimizers()
+        params0, opt0 = exp.params[0], exp.opt_states[0]
+
+        step_fn = make_train_step(cfg, exp.model, donate=False)
+        rng0 = jax.random.PRNGKey(123)
+
+        # production grouped path: fused_scan_fn=None -> every batch is a
+        # remainder batch; multi-batch presence groups take the scan
+        cache = {}
+        _, n_steps = train_one_epoch(
+            exp, 0, step_fn, None, rng0, fused_scan_fn=None,
+            remainder_scan_cache=cache, epoch=0)
+        grouped_params = exp.params[0]
+        assert len(cache) >= 1, "no presence group reached the scan path"
+
+        # stepwise replay of the runner's exact batch partition and rng
+        # stream (sampler seed cfg.seed + epoch, keys drawn in enumeration
+        # order, groups executed in first-appearance order)
+        dataset = exp.dataset_train
+        sampler = MissingModalitySampler(dataset, batch_size=cfg.batch_size,
+                                         seed=cfg.seed + 0)
+        batches = [dataset.gather(idxs)[0] for idxs in sampler]
+        rng = rng0
+        subs = []
+        for _ in batches:
+            rng, sub = jax.random.split(rng)
+            subs.append(sub)
+        groups = {}
+        for i, data in enumerate(batches):
+            key = (tuple(sorted(data)), len(next(iter(data.values()))))
+            groups.setdefault(key, []).append(i)
+        assert any(len(ix) > 1 for ix in groups.values()), \
+            "cohort produced no multi-batch group; test would be vacuous"
+        params, opt = params0, opt0
+        count = 0
+        for idx_list in groups.values():
+            for i in idx_list:
+                params, opt, _, _ = step_fn(
+                    params, opt,
+                    {k: jnp.asarray(v) for k, v in batches[i].items()},
+                    subs[i])
+                count += 1
+        assert count == n_steps
+        for a, b in zip(jax.tree_util.tree_leaves(grouped_params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
 class TestEnsembleParallel:
     @pytest.mark.slow
     def test_parallel_matches_sequential_members(self, tmp_path):
