@@ -107,13 +107,33 @@ SPLIT_NAMES = tuple(
 
 def vmem_budget_ok(cfg, model) -> bool:
     """Whether params (+ Adam moments, in and out) fit the epoch kernels'
-    resident-VMEM budget (same heuristic as ``fused_generic``)."""
+    resident-VMEM budget (same heuristic as ``fused_generic``).
+
+    Counts every layer the config implies — deep encoder/decoder stacks add
+    ``hidden_dim^2`` hidden-to-hidden matrices that the generic kernel must
+    also hold resident, so they must weigh into the guard (a config passing
+    here but overflowing VMEM would crash at Mosaic compile instead of
+    taking the XLA-scan fallback)."""
+    h = cfg.hidden_dim
+    n_enc = cfg.num_hidden_layer_encoder
+    n_dec = cfg.num_hidden_layer_decoder
     param_floats = 0
     for m in model.modalities:
-        param_floats += (m.dim * cfg.hidden_dim + cfg.hidden_dim
-                         + cfg.hidden_dim * 2 * (cfg.class_dim
-                                                 + m.style_dim))
-        param_floats += (m.style_dim + cfg.class_dim) * m.dim + 2 * m.dim
+        lat = cfg.class_dim + m.style_dim
+        # encoder: dim->h, (n_enc-1) x h->h, then the fused 4-head
+        # projection h -> 2*(class+style) (+ biases)
+        param_floats += m.dim * h + h + max(n_enc - 1, 0) * (h * h + h)
+        param_floats += h * 2 * lat + 2 * lat
+        # decoder: lat->h / h->h chain / last->dim, or direct lat->dim;
+        # +2*dim covers the loc bias and the per-feature output scale
+        if n_dec > 0:
+            param_floats += lat * h + h + (n_dec - 1) * (h * h + h)
+            last = h
+        else:
+            last = lat
+        param_floats += last * m.dim + 2 * m.dim
+        if cfg.learn_output_sample_scale:
+            param_floats += last * m.dim + m.dim
     return param_floats * 12 < 8e6
 
 

@@ -118,7 +118,7 @@ def make_train_step(cfg, model, optimizer: Optional[optax.GradientTransformation
 
 
 def make_scan_train_step(cfg, model, optimizer=None,
-                         mesh: Optional[Mesh] = None):
+                         mesh: Optional[Mesh] = None, donate: bool = True):
     """Multi-step trainer: ``lax.scan`` over a stacked batch axis.
 
     Input batches carry a leading steps axis (``[n_steps, B, ...]``); the
@@ -143,15 +143,15 @@ def make_scan_train_step(cfg, model, optimizer=None,
             one, (params, opt_state), (batches, rngs))
         return params, opt_state, losses, metrics
 
-    donate = (0, 1)
+    donate_argnums = (0, 1) if donate else ()
     if mesh is None:
-        return jax.jit(scan_steps, donate_argnums=donate)
+        return jax.jit(scan_steps, donate_argnums=donate_argnums)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, "data"))
     return jax.jit(scan_steps,
                    in_shardings=(repl, repl, data, repl),
                    out_shardings=(repl, repl, repl, repl),
-                   donate_argnums=donate)
+                   donate_argnums=donate_argnums)
 
 
 def make_eval_step(cfg, model, mesh: Optional[Mesh] = None):

@@ -41,7 +41,7 @@ def _to_device(batch: Dict[str, np.ndarray]):
 def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
                     rng, log_every: int = 1, fused_scan_fn=None,
                     step_fn_remainder=None, shard_multiple: int = 1,
-                    epoch: int = 0, remainder_scan_cache=None):
+                    epoch: int = 0, remainder_scan_factory=None):
     cfg = exp.cfg
     dataset = exp.dataset_train
     sub_indices = None
@@ -103,12 +103,8 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
         key = (tuple(sorted(data)), len(next(iter(data.values()))))
         groups.setdefault(key, []).append(i)
     for key, idx_list in groups.items():
-        if remainder_scan_cache is not None and len(idx_list) > 1:
-            scan_fn = remainder_scan_cache.get(key)
-            if scan_fn is None:
-                from .train_step import make_scan_train_step
-                scan_fn = make_scan_train_step(cfg, exp.model)
-                remainder_scan_cache[key] = scan_fn
+        if remainder_scan_factory is not None and len(idx_list) > 1:
+            scan_fn = remainder_scan_factory(key)
             stacked = {m: jax.numpy.asarray(
                 np.stack([general_batches[i][m] for i in idx_list]))
                 for m in key[0]}
@@ -118,9 +114,12 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
             n_steps += len(idx_list)
             if logger is not None:
                 metrics = jax.device_get(metrics)
-                for j in range(0, len(idx_list), log_every):
-                    logger.write_training_logs(
-                        {k: v[j] for k, v in metrics.items()})
+                # same cadence as the per-batch path: log the steps whose
+                # global enumeration index hits the log_every grid
+                for j, i in enumerate(idx_list):
+                    if i % log_every == 0:
+                        logger.write_training_logs(
+                            {k: v[j] for k, v in metrics.items()})
             continue
         for i in idx_list:
             data = general_batches[i]
@@ -412,10 +411,29 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
             # (dropout, deep decoders, per-sample scales, data-parallel),
             # instead of one ~2 ms dispatch per step
             from .train_step import make_scan_train_step
-            fused_scan_fn = make_scan_train_step(cfg, exp.model, mesh=mesh)
+            fused_scan_fn = make_scan_train_step(cfg, exp.model, mesh=mesh,
+                                                 donate=cfg.donate_buffers)
     # per-(presence pattern, rows) scanned remainder steps, compiled once
-    # per run and reused across epochs/members
+    # per run and reused across epochs/members. Gated on fused_training so
+    # disabling it restores true per-step dispatch (debugging/instrumentation
+    # parity with the reference's loop); groups whose rows divide the data
+    # mesh keep their sharding, and donation follows cfg.donate_buffers.
     remainder_scan_cache: Dict = {}
+
+    def remainder_scan_factory(key):
+        scan_fn = remainder_scan_cache.get(key)
+        if scan_fn is None:
+            from .train_step import make_scan_train_step
+            rows = key[1]
+            use_mesh = (mesh if mesh is not None
+                        and rows % cfg.data_parallel == 0 else None)
+            scan_fn = make_scan_train_step(cfg, exp.model, mesh=use_mesh,
+                                           donate=cfg.donate_buffers)
+            remainder_scan_cache[key] = scan_fn
+        return scan_fn
+
+    if not cfg.fused_training:
+        remainder_scan_factory = None
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),
@@ -432,7 +450,7 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                 fused_scan_fn=fused_scan_fn,
                 step_fn_remainder=step_fn_remainder,
                 shard_multiple=cfg.data_parallel, epoch=epoch,
-                remainder_scan_cache=remainder_scan_cache)
+                remainder_scan_factory=remainder_scan_factory)
             rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng,
                                  epoch, scan_eval_fn=scan_eval_fn)
             if (profile_dir is not None and model_idx == 0

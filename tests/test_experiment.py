@@ -139,6 +139,48 @@ class TestParallelTraining:
         assert np.isfinite(losses).all()
         assert losses.iloc[-1] < losses.iloc[0]
 
+    def test_remainder_groups_keep_mesh_sharding(self, tmp_path,
+                                                 monkeypatch):
+        """Under --data-parallel, multi-batch remainder groups whose rows
+        divide the mesh build their grouped scan WITH the mesh (sharded
+        batch axis + psum), not an unsharded fallback."""
+        from multivae_tpu.train import train_step as ts
+        from multivae_tpu.train.config import Config
+        from multivae_tpu.train.trainer import run_epochs
+        from multivae_tpu.utils.filehandling import create_dir_structure
+
+        seen_meshes = []
+        orig = ts.make_scan_train_step
+
+        def spy(cfg, model, optimizer=None, mesh=None, donate=True):
+            seen_meshes.append(mesh)
+            return orig(cfg, model, optimizer=optimizer, mesh=mesh,
+                        donate=donate)
+
+        monkeypatch.setattr(ts, "make_scan_train_step", spy)
+
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        # heavy missingness so single-modality presence groups span
+        # several full batches (rows = batch_size, divisible by the mesh)
+        make_synthetic_cohort(datasetdir, n_subjects=120, n_scores=4,
+                              n_rois=12, missing_rate=0.5, seed=23)
+        cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                     dir_experiment=outdir, input_dim=[4, 12], class_dim=4,
+                     style_dim=[2, 2], end_epoch=2, batch_size=8,
+                     method="joint_elbo", data_parallel=4).derive()
+        create_dir_structure(cfg)
+        exp = MultimodalExperiment(cfg)
+        exp.set_optimizers()
+        run_epochs(exp, use_tensorboard=False, progress=False)
+        assert any(m is not None for m in seen_meshes), \
+            "no remainder group compiled a mesh-sharded scan"
+        df = pd.read_csv(os.path.join(cfg.dir_logs, "metrics.csv"))
+        losses = df[(df.phase == "train") & (df.metric == "loss")]["value"]
+        assert np.isfinite(losses).all()
+        assert losses.iloc[-1] < losses.iloc[0]
+
     def test_save_networks_files(self, trained_run):
         _, outdir, run = trained_run
         ckpt = os.path.join(outdir, run, "checkpoints")
@@ -197,11 +239,21 @@ class TestRemainderGrouping:
         rng0 = jax.random.PRNGKey(123)
 
         # production grouped path: fused_scan_fn=None -> every batch is a
-        # remainder batch; multi-batch presence groups take the scan
+        # remainder batch; multi-batch presence groups take the scan.
+        # donate=False so the replay below may reuse params0/opt0 even on
+        # backends where donation is honored.
+        from multivae_tpu.train.train_step import make_scan_train_step
         cache = {}
+
+        def factory(key):
+            if key not in cache:
+                cache[key] = make_scan_train_step(cfg, exp.model,
+                                                  donate=False)
+            return cache[key]
+
         _, n_steps = train_one_epoch(
             exp, 0, step_fn, None, rng0, fused_scan_fn=None,
-            remainder_scan_cache=cache, epoch=0)
+            remainder_scan_factory=factory, epoch=0)
         grouped_params = exp.params[0]
         assert len(cache) >= 1, "no presence group reached the scan path"
 

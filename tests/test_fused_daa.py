@@ -43,8 +43,8 @@ class TestMethodDispatchedSweep:
     the joint-fusion block); deterministic outputs must match the general
     per-cell model calls exactly."""
 
-    @pytest.mark.parametrize("method", ["moe", "jsd", "poe"])
-    def test_deterministic_matches_general(self, method):
+    @staticmethod
+    def _method_setup(method):
         from multivae_tpu.ops.fused_daa import supports_fused_sweep
 
         cfg = Config(method=method, input_dim=[5, 24], class_dim=6,
@@ -62,6 +62,11 @@ class TestMethodDispatchedSweep:
         }
         params, _ = init_train_state(cfg, model, data)
         assert supports_fused_sweep(cfg, model, data)
+        return cfg, model, params, data
+
+    @pytest.mark.parametrize("method", ["moe", "jsd", "poe"])
+    def test_deterministic_matches_general(self, method):
+        cfg, model, params, data = self._method_setup(method)
         scores = jnp.asarray(RNG.normal(size=(4, B, 5)).astype(np.float32))
         # general path WITHOUT cfg so it cannot itself take the fused route
         general = avatar_sweep(model, params, data, scores,
@@ -73,6 +78,28 @@ class TestMethodDispatchedSweep:
                                    interpret=True)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(general),
                                    rtol=2e-4, atol=1e-5)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("method", ["moe", "jsd", "poe"])
+    def test_sampled_means_match_statistically(self, method):
+        """``sample_latents=True`` is run_daa's production default: the
+        fused sampled branches (mixture-partition masks, raw-expert
+        logvars, jsd's unit-expert row) must agree with the general path
+        in expectation over latent draws."""
+        cfg, model, params, data = self._method_setup(method)
+        scores = jnp.tile(data["clinical"][None, :, :], (64, 1, 1))
+        general = avatar_sweep(model, params, data, scores,
+                               sample_latents=True,
+                               rng=jax.random.PRNGKey(1))
+        fused = fused_avatar_sweep(model, params, data, scores,
+                                   sample_latents=True,
+                                   rng=jax.random.PRNGKey(2), cfg=cfg,
+                                   interpret=True)
+        gm = np.asarray(general).mean(axis=2)
+        fm = np.asarray(fused).mean(axis=2)
+        resid = np.abs(gm - fm)
+        scale = np.abs(gm).mean() + 1.0
+        assert resid.mean() / scale < 0.1
 
 
 class TestFusedAvatarSweep:
