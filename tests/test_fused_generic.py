@@ -71,6 +71,47 @@ def test_matches_general_path(method):
     assert rel < 0.1, (float(losses_e[-1]), float(loss_s))
 
 
+@pytest.mark.parametrize("likelihood", ["laplace", "bernoulli"])
+def test_matches_general_path_other_likelihoods(likelihood):
+    """The traced-model kernel serves every likelihood family the config
+    can name (the reference's four, ``modality.py:18-30``): laplace and
+    bernoulli configs train on the kernel and track the general path."""
+    cfg = Config(method="joint_elbo", input_dim=[5, 16], class_dim=4,
+                 style_dim=[2, 3], hidden_dim=16,
+                 num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
+                 likelihood=likelihood,
+                 learn_output_scale=(likelihood == "laplace"),
+                 initial_learning_rate=0.01).derive()
+    model = build_model(cfg, make_modalities(cfg.input_dim, cfg.style_dim,
+                                             cfg.likelihood))
+    rng = np.random.default_rng(3)
+    if likelihood == "bernoulli":
+        batch = {"clinical": jnp.asarray(
+            (rng.uniform(size=(B, 5)) < 0.4).astype(np.float32)),
+            "rois": jnp.asarray(
+                (rng.uniform(size=(B, 16)) < 0.4).astype(np.float32))}
+    else:
+        batch = {"clinical": jnp.asarray(rng.normal(size=(B, 5))
+                                         .astype(np.float32)),
+                 "rois": jnp.asarray(rng.normal(size=(B, 16))
+                                     .astype(np.float32))}
+    params, opt_state = init_train_state(cfg, model, batch)
+    assert supports_generic_fused(cfg, model, batch)
+    batches = {k: jnp.asarray(np.stack([np.asarray(v)] * CH))
+               for k, v in batch.items()}
+    rngs = jax.random.split(jax.random.PRNGKey(0), CH)
+    epoch_fn = make_generic_fused_epoch(cfg, model, interpret=True)
+    p_e, s_e, losses_e, _ = epoch_fn(params, opt_state, batches, rngs)
+    assert np.isfinite(np.asarray(losses_e)).all()
+
+    step = make_train_step(cfg, model, donate=False)
+    p_s, s_s = params, opt_state
+    for i in range(CH):
+        p_s, s_s, loss_s, _ = step(p_s, s_s, batch, rngs[i])
+    rel = abs(float(losses_e[-1]) - float(loss_s)) / abs(float(loss_s))
+    assert rel < 0.1, (float(losses_e[-1]), float(loss_s))
+
+
 def test_unsupported_cases():
     cfg, model, batch, _, _ = setup("joint_elbo")
     assert not supports_generic_fused(cfg, model,
