@@ -71,11 +71,14 @@ def test_matches_general_path(method):
     assert rel < 0.1, (float(losses_e[-1]), float(loss_s))
 
 
-@pytest.mark.parametrize("likelihood", ["laplace", "bernoulli"])
+@pytest.mark.parametrize("likelihood", ["laplace", "bernoulli",
+                                        pytest.param("categorical",
+                                                     marks=pytest.mark.slow)])
 def test_matches_general_path_other_likelihoods(likelihood):
     """The traced-model kernel serves every likelihood family the config
-    can name (the reference's four, ``modality.py:18-30``): laplace and
-    bernoulli configs train on the kernel and track the general path."""
+    can name (the reference's four, ``modality.py:18-30``): laplace,
+    bernoulli and categorical configs train on the kernel and track the
+    general path (normal is the flagship, covered everywhere else)."""
     cfg = Config(method="joint_elbo", input_dim=[5, 16], class_dim=4,
                  style_dim=[2, 3], hidden_dim=16,
                  num_hidden_layer_encoder=1, num_hidden_layer_decoder=0,
@@ -90,6 +93,14 @@ def test_matches_general_path_other_likelihoods(likelihood):
             (rng.uniform(size=(B, 5)) < 0.4).astype(np.float32)),
             "rois": jnp.asarray(
                 (rng.uniform(size=(B, 16)) < 0.4).astype(np.float32))}
+    elif likelihood == "categorical":
+        def onehot(n, d):
+            idx = rng.integers(0, d, size=n)
+            out = np.zeros((n, d), np.float32)
+            out[np.arange(n), idx] = 1.0
+            return out
+        batch = {"clinical": jnp.asarray(onehot(B, 5)),
+                 "rois": jnp.asarray(onehot(B, 16))}
     else:
         batch = {"clinical": jnp.asarray(rng.normal(size=(B, 5))
                                          .astype(np.float32)),
