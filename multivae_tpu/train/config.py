@@ -101,6 +101,12 @@ class Config:
     fused_training: bool = True     # single-Pallas-kernel train step + epoch
     # scan on supported configs (ops/fused_step.py); per-step metric logging
     # then reduces to the loss (full metric families still logged at test)
+    epoch_chunk: int = 10           # max epochs chained into ONE device
+    # dispatch (train/chunked.py): the dominant cost of long trainings on
+    # this relay-attached host is the ~6 host<->device round-trips per
+    # epoch, not compute. Chunks always end at the next host event
+    # (checkpoint/NLL/PRD cadence), so artifacts and logs are unchanged and
+    # training is numerically identical to the per-epoch driver. 1 disables.
 
     # derived (filled by derive())
     num_mods: int = 0

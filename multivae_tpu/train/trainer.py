@@ -38,6 +38,19 @@ def _to_device(batch: Dict[str, np.ndarray]):
     return {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
 
+def canonical_group_order(keys, mod_names, batch_size):
+    """Deterministic processing order for (presence pattern, rows) groups.
+
+    The complete-modality full-size group runs first — aligning the
+    sequential driver with the ensemble path's scannable prefix
+    (:func:`train_one_epoch_ensemble`) — then the remaining keys in sorted
+    order. A fixed, epoch-independent order is what lets the chunked
+    driver (train/chunked.py) compile one program for every epoch."""
+    full = (tuple(sorted(mod_names)), batch_size)
+    ordered = [full] if full in keys else []
+    return ordered + sorted(k for k in keys if k != full)
+
+
 def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
                     rng, log_every: int = 1, fused_scan_fn=None,
                     step_fn_remainder=None, shard_multiple: int = 1,
@@ -102,7 +115,10 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
     for i, data in enumerate(general_batches):
         key = (tuple(sorted(data)), len(next(iter(data.values()))))
         groups.setdefault(key, []).append(i)
-    for key, idx_list in groups.items():
+    # canonical group order (not first appearance) so the chunked driver
+    # (train/chunked.py) can replay the exact same update sequence
+    for key in canonical_group_order(groups, mod_names, cfg.batch_size):
+        idx_list = groups[key]
         if remainder_scan_factory is not None and len(idx_list) > 1:
             scan_fn = remainder_scan_factory(key)
             stacked = {m: jax.numpy.asarray(
@@ -249,17 +265,27 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
                 loggers[m].write_training_logs(
                     {k: v[m, i] for k, v in metrics.items()})
 
-    # remainder: missing-modality groups / partial batches, per member
+    # remainder: missing-modality groups / partial batches, per member —
+    # processed in the same canonical group order as the sequential driver
+    # so both paths apply identical update sequences
     for m in range(n_models):
         params = exp.params[m]
         opt_state = exp.opt_states[m]
+        rgroups: Dict = {}
         for i in range(n_common, len(streams[m])):
             data = streams[m][i]
-            params, opt_state, loss, metrics = step_fn(
-                params, opt_state, _to_device(data), subs[m][i])
-            n_steps += 1
-            if loggers[m] is not None and i % log_every == 0:
-                loggers[m].write_training_logs(jax.device_get(metrics))
+            key = (tuple(sorted(data)), len(next(iter(data.values()))))
+            rgroups.setdefault(key, []).append(i)
+        for key in canonical_group_order(rgroups, mod_names,
+                                         cfg.batch_size):
+            for i in rgroups[key]:
+                data = streams[m][i]
+                params, opt_state, loss, metrics = step_fn(
+                    params, opt_state, _to_device(data), subs[m][i])
+                n_steps += 1
+                if loggers[m] is not None and i % log_every == 0:
+                    loggers[m].write_training_logs(
+                        jax.device_get(metrics))
         exp.params[m] = params
         exp.opt_states[m] = opt_state
     return rngs, n_steps
@@ -297,11 +323,38 @@ def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
             for i in range(len(scannable)):
                 logger.write_testing_logs(
                     {k: v[i] for k, v in metrics.items()})
-    for data in others:
+    # remainder test batches: grouped by (presence pattern, rows) in sorted
+    # key order and scanned — one dispatch + one fetch per group instead of
+    # one per batch, and the same canonical order the chunked driver uses.
+    # rng subs are drawn in emission order, exactly as a per-batch loop.
+    esubs = []
+    for _ in others:
         rng, sub = jax.random.split(rng)
-        loss, metrics = eval_fn(params, _to_device(data), sub)
-        if logger is not None:
-            logger.write_testing_logs(jax.device_get(metrics))
+        esubs.append(sub)
+    egroups: Dict = {}
+    for i, data in enumerate(others):
+        key = (tuple(sorted(data)), len(next(iter(data.values()))))
+        egroups.setdefault(key, []).append(i)
+    for key in sorted(egroups):
+        idx_list = egroups[key]
+        if scan_eval_fn is not None:
+            stacked = {m: jax.numpy.asarray(
+                np.stack([others[i][m] for i in idx_list]))
+                for m in key[0]}
+            _, metrics = scan_eval_fn(
+                params, stacked, jax.numpy.stack([esubs[i]
+                                                  for i in idx_list]))
+            if logger is not None:
+                metrics = jax.device_get(metrics)
+                for j in range(len(idx_list)):
+                    logger.write_testing_logs(
+                        {k: v[j] for k, v in metrics.items()})
+        else:
+            for i in idx_list:
+                loss, metrics = eval_fn(params, _to_device(others[i]),
+                                        esubs[i])
+                if logger is not None:
+                    logger.write_testing_logs(jax.device_get(metrics))
 
     if ((epoch + 1) % cfg.eval_freq == 0 or (epoch + 1) == cfg.end_epoch):
         if cfg.calc_nll:
@@ -342,6 +395,106 @@ def resume_from_checkpoints(exp) -> int:
         latest = max(latest, epoch + 1)
     cfg.start_epoch = latest
     return latest
+
+
+def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
+                        log_every: int = 1, progress: bool = True,
+                        profile_dir: str | None = None):
+    """Train one member with K epochs per device dispatch
+    (:mod:`multivae_tpu.train.chunked`).
+
+    Numerically identical to the per-epoch driver — same batch partition,
+    same rng split chain, same sorted group order — but the whole
+    train+test epoch body runs inside one ``lax.scan`` chained up to the
+    next host event (checkpoint every 5 epochs, ``run_epochs.py:243-256``;
+    NLL/PRD cadence), cutting host<->device round-trips from ~6/epoch to
+    ~3/chunk. On the relay-attached host this is the difference between
+    ~350 s and well under 2 min at reference scale (550 epochs)."""
+    from .chunked import (
+        ChunkRunner,
+        chunk_length,
+        make_resident,
+        plan_eval_epoch,
+        plan_train_epoch,
+    )
+
+    cfg = exp.cfg
+    dataset = (exp.dataset_train[model_idx] if cfg.num_models > 1
+               else exp.dataset_train)
+    testset = (exp.dataset_test[model_idx] if cfg.num_models > 1
+               else exp.dataset_test)
+    mod_names = [m.name for m in exp.model.modalities]
+    res_train = make_resident(dataset, mod_names)
+    res_eval = make_resident(testset, mod_names)
+    rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
+    params = exp.params[model_idx]
+    opt_state = exp.opt_states[model_idx]
+    runners: Dict = {}
+    t0 = time.time()
+    epoch = cfg.start_epoch
+    while epoch < cfg.end_epoch:
+        profile_first = (profile_dir is not None and model_idx == 0
+                         and epoch == cfg.start_epoch)
+        k = chunk_length(cfg, epoch, profile_first=profile_first)
+        plans = [plan_train_epoch(cfg, dataset, mod_names, e,
+                                  fused_scan_fn is not None)
+                 for e in range(epoch, epoch + k)]
+        eplans = [plan_eval_epoch(cfg, testset, mod_names, e)
+                  for e in range(epoch, epoch + k)]
+        struct = (plans[0].structure(), eplans[0].structure())
+        # presence groups are fixed per cohort so every epoch shares the
+        # partition structure; keep the guard anyway and shrink the chunk
+        # to the structurally-identical prefix if it ever differs
+        same = 1
+        while same < k and (plans[same].structure(),
+                            eplans[same].structure()) == struct:
+            same += 1
+        k, plans, eplans = same, plans[:same], eplans[:same]
+        runner = runners.get(struct)
+        if runner is None:
+            runner = ChunkRunner(cfg, exp.model, struct[0], struct[1],
+                                 fused_scan_fn, res_train, res_eval,
+                                 params, opt_state)
+            runners[struct] = runner
+        xs = runner.stack_xs(plans, eplans)
+        if profile_first:
+            jax.profiler.start_trace(profile_dir)
+        params, opt_state, rng, flat = runner(params, opt_state, rng, xs)
+        flat = np.asarray(flat)  # ONE relay fetch for K epochs of metrics
+        if profile_first:
+            jax.profiler.stop_trace()
+        runner.write_logs(logger, flat, plans, log_every)
+        epoch += k
+        exp.params[model_idx] = params
+        exp.opt_states[model_idx] = opt_state
+        e = epoch - 1  # chunk boundary == last trained epoch
+        if (e + 1) % 5 == 0 or (e + 1) == cfg.end_epoch:
+            ckpt_dir = model_checkpoint_dir(cfg, model_idx, e)
+            save_checkpoint(ckpt_dir, exp.params[model_idx],
+                            exp.opt_states[model_idx], cfg.model_save)
+            save_networks(os.path.dirname(ckpt_dir)
+                          if cfg.num_models > 1 else cfg.dir_checkpoints,
+                          exp.params[model_idx])
+        if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch):
+            if cfg.calc_nll:
+                from ..eval.likelihood import estimate_likelihoods
+                lhoods = estimate_likelihoods(exp, model_idx)
+                if logger is not None:
+                    logger.write_lhood_logs(lhoods)
+            if cfg.calc_prd and ((e + 1) % cfg.eval_freq_fid == 0):
+                from ..eval.sample_quality import calc_prd_score
+                prd = calc_prd_score(exp, model_idx)
+                if logger is not None:
+                    logger.write_prd_scores(prd)
+        if progress:
+            frac = (epoch - cfg.start_epoch) / max(
+                cfg.end_epoch - cfg.start_epoch, 1)
+            elapsed = time.time() - t0
+            print(f"\r  model {model_idx}: epoch {epoch}/"
+                  f"{cfg.end_epoch} ({100 * frac:.1f}%) "
+                  f"[{elapsed:.1f}s]", end="", flush=True)
+    if progress:
+        print()
 
 
 def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
@@ -434,11 +587,21 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
 
     if not cfg.fused_training:
         remainder_scan_factory = None
+    # K-epochs-per-dispatch driver whenever an epoch-level scan fn exists
+    # on a single device; numerically identical to the loop below
+    use_chunked = (cfg.epoch_chunk > 1 and mesh is None
+                   and fused_scan_fn is not None)
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),
                               use_tensorboard=use_tensorboard)
         logger.add_text("FLAGS", cfg.describe())
+        if use_chunked:
+            _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
+                                log_every=log_every, progress=progress,
+                                profile_dir=profile_dir)
+            logger.close()
+            continue
         rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
         t0 = time.time()
         for epoch in range(cfg.start_epoch, cfg.end_epoch):

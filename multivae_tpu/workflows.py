@@ -28,7 +28,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               out_scale_per_subject=False, method="joint_elbo",
               grad_scaling=False, use_tensorboard=True, log_every=1,
               data_parallel=1, ensemble_parallel="auto",
-              fused_training=True, profile_dir=None,
+              fused_training=True, epoch_chunk=10, profile_dir=None,
               calc_nll=False, calc_prd=False):
     """Train the model (``workflow.py:41-182``); same parameter surface.
 
@@ -43,6 +43,8 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     ``(model, data)`` device mesh, or when the sequential path would not
     get a fused Pallas kernel anyway; True/False force it);
     ``fused_training`` enables the single-kernel Pallas epoch path;
+    ``epoch_chunk`` chains up to that many epochs into one device dispatch
+    (train/chunked.py; 1 disables);
     ``profile_dir`` captures a ``jax.profiler`` trace of the first epoch.
     """
     print_title(f"TRAIN: {dataset}")
@@ -65,6 +67,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
         data_parallel=int(data_parallel),
         ensemble_parallel=ensemble_parallel,
         fused_training=bool(fused_training),
+        epoch_chunk=int(epoch_chunk),
         calc_nll=bool(calc_nll), calc_prd=bool(calc_prd),
     ).derive()
     create_dir_structure(cfg)

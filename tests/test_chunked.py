@@ -1,0 +1,154 @@
+"""Chunked (K-epochs-per-dispatch) trainer: equivalence and scheduling.
+
+The chunked driver (``multivae_tpu/train/chunked.py``) must be a pure
+performance transform of the per-epoch driver: same batch partition, same
+rng streams, same logger write sequence, same checkpoint artifacts.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from multivae_tpu.data import make_synthetic_cohort
+from multivae_tpu.train.config import Config
+from multivae_tpu.workflows import train_exp
+
+
+class TestChunkedEquivalence:
+    @pytest.fixture(scope="class")
+    def runs(self, tmp_path_factory):
+        """The same tiny missing-blocks cohort trained with epoch_chunk=1
+        (per-epoch driver) and epoch_chunk=10 (chunks of 5+1)."""
+        root = tmp_path_factory.mktemp("chunked")
+        datasetdir = str(root / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=80, n_scores=4,
+                              n_rois=16, missing_rate=0.2, seed=1)
+        outs, names = [], []
+        for chunk in (1, 10):
+            outdir = str(root / f"out{chunk}")
+            os.makedirs(outdir)
+            run = train_exp(
+                dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+                input_dims=[4, 16], latent_dim=4, style_dim=[2, 3],
+                num_epochs=6, batch_size=32, method="joint_elbo",
+                learning_rate=0.01, use_tensorboard=False,
+                epoch_chunk=chunk)
+            outs.append(outdir)
+            names.append(run)
+        return outs, names
+
+    def test_final_params_match(self, runs):
+        from multivae_tpu.train.experiment import MultimodalExperiment
+
+        (out1, out2), (r1, r2) = runs
+        exps = []
+        for out, r in zip((out1, out2), (r1, r2)):
+            exp, _ = MultimodalExperiment.get_experiment(
+                os.path.join(out, r, "flags.json"),
+                os.path.join(out, r, "checkpoints"))
+            exps.append(exp)
+        l1 = jax.tree_util.tree_leaves(exps[0].params[0])
+        l2 = jax.tree_util.tree_leaves(exps[1].params[0])
+        for a, b in zip(l1, l2):
+            # same ops in the same order; only XLA fusion differs between
+            # the two compiled programs (f32 roundoff)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_log_sequence_matches(self, runs):
+        (out1, out2), (r1, r2) = runs
+        d1 = pd.read_csv(os.path.join(out1, r1, "logs", "metrics.csv"))
+        d2 = pd.read_csv(os.path.join(out2, r2, "logs", "metrics.csv"))
+        assert len(d1) == len(d2)
+        # identical (step, phase, metric) sequence — the chunked driver
+        # replays the exact per-epoch write order from the fetched matrix
+        assert (d1[["step", "phase", "metric"]].values
+                == d2[["step", "phase", "metric"]].values).all()
+        np.testing.assert_allclose(d1["value"].values, d2["value"].values,
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_checkpoint_cadence_preserved(self, runs):
+        (out1, out2), (r1, r2) = runs
+        for out, r in zip((out1, out2), (r1, r2)):
+            ckpts = sorted(d for d in os.listdir(
+                os.path.join(out, r, "checkpoints"))
+                if os.path.isdir(os.path.join(out, r, "checkpoints", d)))
+            assert ckpts == ["0004", "0005"]
+
+
+class TestResident:
+    def test_resident_gather_matches_dataset_gather(self, tmp_path):
+        """On-device row lookup from the resident transformed blocks equals
+        ``MultimodalDataset.gather`` exactly (scalers are row-wise)."""
+        from multivae_tpu.train.chunked import make_resident
+        from multivae_tpu.train.experiment import MultimodalExperiment
+        from multivae_tpu.utils.filehandling import create_dir_structure
+
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=40, n_scores=3,
+                              n_rois=8, missing_rate=0.3, seed=7)
+        cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                     dir_experiment=outdir, input_dim=[3, 8], class_dim=4,
+                     style_dim=[2, 2], end_epoch=1, batch_size=8,
+                     method="joint_elbo").derive()
+        create_dir_structure(cfg)
+        exp = MultimodalExperiment(cfg)
+        dataset = exp.dataset_train
+        mod_names = [m.name for m in exp.model.modalities]
+        resident = make_resident(dataset, mod_names)
+        idxs = np.arange(min(10, len(dataset)))
+        data, _, _ = dataset.gather(idxs)
+        true = (dataset.indices[idxs] if dataset.indices is not None
+                else idxs)
+        for mod, batch in data.items():
+            rows = dataset._row_idx[mod][true]
+            np.testing.assert_array_equal(resident[mod][rows], batch)
+
+
+class TestChunkLength:
+    def _cfg(self, **kw):
+        base = dict(dataset="synthetic", input_dim=[3, 8], class_dim=4,
+                    style_dim=[2, 2], end_epoch=23, method="joint_elbo",
+                    epoch_chunk=10)
+        base.update(kw)
+        return Config(**base).derive()
+
+    def test_breaks_at_checkpoint_cadence(self):
+        from multivae_tpu.train.chunked import chunk_length
+
+        cfg = self._cfg()
+        # epoch 0: chain up to epoch 4 (checkpoint after (4+1)%5==0)
+        assert chunk_length(cfg, 0) == 5
+        assert chunk_length(cfg, 5) == 5
+        # mid-cadence start (resume): chunk ends at the next boundary
+        assert chunk_length(cfg, 3) == 2
+        # tail: end_epoch=23 -> epochs 20,21,22 (23 % 5 != 0)
+        assert chunk_length(cfg, 20) == 3
+
+    def test_breaks_at_eval_cadence_when_enabled(self):
+        from multivae_tpu.train.chunked import chunk_length
+
+        cfg = self._cfg(calc_nll=True, eval_freq=3, end_epoch=30)
+        # NLL fires after epoch 2 ((2+1)%3==0): chunk is 3, not 5
+        assert chunk_length(cfg, 0) == 3
+        cfg2 = self._cfg(calc_nll=False, eval_freq=3, end_epoch=30)
+        assert chunk_length(cfg2, 0) == 5
+
+    def test_profile_first_is_single_epoch(self):
+        from multivae_tpu.train.chunked import chunk_length
+
+        cfg = self._cfg()
+        assert chunk_length(cfg, 0, profile_first=True) == 1
+
+    def test_cap_and_end(self):
+        from multivae_tpu.train.chunked import chunk_length
+
+        cfg = self._cfg(end_epoch=2)
+        assert chunk_length(cfg, 0) == 2
+        cfg2 = self._cfg(epoch_chunk=3, end_epoch=100)
+        assert chunk_length(cfg2, 0) == 3

@@ -212,8 +212,10 @@ class TestRemainderGrouping:
     def test_grouped_scan_matches_stepwise_replay(self, tmp_path):
         """The per-(presence pattern, rows) grouped ``lax.scan`` over
         remainder batches reproduces a stepwise replay of the same batches
-        in the same first-appearance group order with the same
-        enumeration-order keys."""
+        in the same canonical group order with the same enumeration-order
+        keys (canonical order — complete-full group first, then sorted —
+        is the sequence shared with the chunked driver and the ensemble
+        path; trainer.canonical_group_order)."""
         import jax.numpy as jnp
 
         from multivae_tpu.data import MissingModalitySampler
@@ -259,7 +261,7 @@ class TestRemainderGrouping:
 
         # stepwise replay of the runner's exact batch partition and rng
         # stream (sampler seed cfg.seed + epoch, keys drawn in enumeration
-        # order, groups executed in first-appearance order)
+        # order, groups executed in canonical order)
         dataset = exp.dataset_train
         sampler = MissingModalitySampler(dataset, batch_size=cfg.batch_size,
                                          seed=cfg.seed + 0)
@@ -275,9 +277,13 @@ class TestRemainderGrouping:
             groups.setdefault(key, []).append(i)
         assert any(len(ix) > 1 for ix in groups.values()), \
             "cohort produced no multi-batch group; test would be vacuous"
+        from multivae_tpu.train.trainer import canonical_group_order
+        mod_names = [m.name for m in exp.model.modalities]
         params, opt = params0, opt0
         count = 0
-        for idx_list in groups.values():
+        for key in canonical_group_order(groups, mod_names,
+                                         cfg.batch_size):
+            idx_list = groups[key]
             for i in idx_list:
                 params, opt, _, _ = step_fn(
                     params, opt,
