@@ -152,3 +152,56 @@ class TestChunkLength:
         assert chunk_length(cfg, 0) == 2
         cfg2 = self._cfg(epoch_chunk=3, end_epoch=100)
         assert chunk_length(cfg2, 0) == 3
+
+
+class TestChunkedMembers:
+    @pytest.mark.slow
+    def test_sequential_members_train_chunked(self, tmp_path):
+        """num_models>1 with ensemble_parallel=False routes each member
+        through the chunked driver: per-member logs, checkpoints, and a
+        decreasing loss for every member."""
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=3,
+                              n_rois=10, missing_rate=0.2, seed=3)
+        run = train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[3, 10], latent_dim=4, style_dim=[2, 2],
+            num_epochs=6, batch_size=16, method="joint_elbo",
+            learning_rate=0.01, use_tensorboard=False, num_models=2,
+            ensemble_parallel=False, epoch_chunk=10)
+        for m in range(2):
+            logdir = os.path.join(outdir, run, "logs", f"model_{m}")
+            csvs = [os.path.join(logdir, f) for f in os.listdir(logdir)
+                    if f.endswith(".csv")]
+            assert csvs, f"no metric csv for member {m}"
+            df = pd.read_csv(csvs[0])
+            tr = df[(df.phase == "train") & (df.metric == "loss")]["value"]
+            assert tr.iloc[-1] < tr.iloc[0]
+            ckpts = sorted(d for d in os.listdir(
+                os.path.join(outdir, run, "checkpoints", f"model_{m}"))
+                if d.startswith("0"))
+            assert ckpts == ["0004", "0005"]
+
+    @pytest.mark.slow
+    def test_nll_cadence_runs_at_chunk_boundary(self, tmp_path):
+        """calc_nll with eval_freq=3 forces chunk boundaries at epochs 3
+        and 6; Likelihoods rows land in the CSV at the same cadence as the
+        per-epoch driver."""
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=48, n_scores=3,
+                              n_rois=8, missing_rate=0.0, seed=4)
+        run = train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[3, 8], latent_dim=4, style_dim=[2, 2],
+            num_epochs=6, batch_size=16, method="joint_elbo",
+            learning_rate=0.01, use_tensorboard=False,
+            calc_nll=True, eval_freq=3, epoch_chunk=10)
+        df = pd.read_csv(os.path.join(outdir, run, "logs", "metrics.csv"))
+        lh = df[df.phase == "Likelihoods"]
+        # two NLL evaluations: after epoch 3 and after epoch 6
+        assert len(lh) > 0
+        assert lh["step"].nunique() == 2
