@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data import MissingModalitySampler, simple_batches
 from ..utils.filehandling import model_checkpoint_dir, model_log_dir
-from .checkpoint import save_checkpoint, save_networks
+from .checkpoint import save_checkpoint, save_networks, snapshot_on_device
 from .logging import MetricLogger
 from .train_step import (
     make_ensemble_scan_train_step,
@@ -432,6 +432,26 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
     runners: Dict = {}
     t0 = time.time()
     epoch = cfg.start_epoch
+    # Deferred host work for the chunk the device is still executing:
+    # (runner, flat, plans, ckpt). Draining AFTER the next chunk's dispatch
+    # overlaps the metric/param transfers and disk writes with device
+    # compute — the relay has no async host copies, so dispatch-then-fetch
+    # deferral is the only overlap available (same pattern as the DAA
+    # avatar fetch, analysis/daa.py). At reference scale the 110 checkpoint
+    # fetches are a large share of the training-loop wall clock.
+    pending = None
+
+    def drain(p):
+        runner_, flat_, plans_, ckpt_ = p
+        flat_ = np.asarray(flat_)  # ONE relay fetch for K epochs of metrics
+        runner_.write_logs(logger, flat_, plans_, log_every)
+        if ckpt_ is not None:
+            ckpt_dir, networks_dir, snap_p, snap_o = ckpt_
+            host_p = jax.device_get(snap_p)  # fetch once, reuse for both
+            save_checkpoint(ckpt_dir, host_p, jax.device_get(snap_o),
+                            cfg.model_save)
+            save_networks(networks_dir, host_p)
+
     while epoch < cfg.end_epoch:
         profile_first = (profile_dir is not None and model_idx == 0
                          and epoch == cfg.start_epoch)
@@ -458,24 +478,37 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
             runners[struct] = runner
         xs = runner.stack_xs(plans, eplans)
         if profile_first:
+            if pending is not None:
+                drain(pending)  # keep prior host work out of the trace
+                pending = None
             jax.profiler.start_trace(profile_dir)
         params, opt_state, rng, flat = runner(params, opt_state, rng, xs)
-        flat = np.asarray(flat)  # ONE relay fetch for K epochs of metrics
-        if profile_first:
-            jax.profiler.stop_trace()
-        runner.write_logs(logger, flat, plans, log_every)
         epoch += k
         exp.params[model_idx] = params
         exp.opt_states[model_idx] = opt_state
         e = epoch - 1  # chunk boundary == last trained epoch
+        ckpt = None
         if (e + 1) % 5 == 0 or (e + 1) == cfg.end_epoch:
+            # device-side copies: the next chunk's dispatch donates the
+            # params/opt buffers, so pin the boundary values now and fetch
+            # them later, overlapped with that chunk's compute
             ckpt_dir = model_checkpoint_dir(cfg, model_idx, e)
-            save_checkpoint(ckpt_dir, exp.params[model_idx],
-                            exp.opt_states[model_idx], cfg.model_save)
-            save_networks(os.path.dirname(ckpt_dir)
-                          if cfg.num_models > 1 else cfg.dir_checkpoints,
-                          exp.params[model_idx])
-        if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch):
+            networks_dir = (os.path.dirname(ckpt_dir)
+                            if cfg.num_models > 1 else cfg.dir_checkpoints)
+            ckpt = (ckpt_dir, networks_dir, snapshot_on_device(params),
+                    snapshot_on_device(opt_state))
+        if profile_first:
+            flat = np.asarray(flat)  # force completion inside the trace
+            jax.profiler.stop_trace()
+        if pending is not None:
+            drain(pending)
+        pending = (runner, flat, plans, ckpt)
+        if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
+                and (cfg.calc_nll or cfg.calc_prd):
+            # NLL/PRD dispatch their own device work against exp.params;
+            # flush first so the CSV row order matches the per-epoch driver
+            drain(pending)
+            pending = None
             if cfg.calc_nll:
                 from ..eval.likelihood import estimate_likelihoods
                 lhoods = estimate_likelihoods(exp, model_idx)
@@ -493,6 +526,8 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
             print(f"\r  model {model_idx}: epoch {epoch}/"
                   f"{cfg.end_epoch} ({100 * frac:.1f}%) "
                   f"[{elapsed:.1f}s]", end="", flush=True)
+    if pending is not None:
+        drain(pending)
     if progress:
         print()
 
@@ -621,11 +656,12 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                 jax.profiler.stop_trace()
             if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
                 ckpt_dir = model_checkpoint_dir(cfg, model_idx, epoch)
-                save_checkpoint(ckpt_dir, exp.params[model_idx],
+                host_p = jax.device_get(exp.params[model_idx])  # fetch once
+                save_checkpoint(ckpt_dir, host_p,
                                 exp.opt_states[model_idx], cfg.model_save)
                 save_networks(os.path.dirname(ckpt_dir)
                               if cfg.num_models > 1 else cfg.dir_checkpoints,
-                              exp.params[model_idx])
+                              host_p)
             if progress:
                 frac = (epoch + 1 - cfg.start_epoch) / max(
                     cfg.end_epoch - cfg.start_epoch, 1)
@@ -701,9 +737,10 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
         if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
             for m in range(cfg.num_models):
                 ckpt_dir = model_checkpoint_dir(cfg, m, epoch)
-                save_checkpoint(ckpt_dir, exp.params[m], exp.opt_states[m],
+                host_p = jax.device_get(exp.params[m])  # fetch once
+                save_checkpoint(ckpt_dir, host_p, exp.opt_states[m],
                                 cfg.model_save)
-                save_networks(os.path.dirname(ckpt_dir), exp.params[m])
+                save_networks(os.path.dirname(ckpt_dir), host_p)
         if progress:
             frac = (epoch + 1 - cfg.start_epoch) / max(
                 cfg.end_epoch - cfg.start_epoch, 1)

@@ -70,6 +70,27 @@ class TestChunkedEquivalence:
         np.testing.assert_allclose(d1["value"].values, d2["value"].values,
                                    rtol=1e-3, atol=1e-3)
 
+    def test_mid_run_checkpoint_matches_per_epoch(self, runs):
+        """The deferred checkpoint at the epoch-4 boundary — a device-side
+        snapshot fetched only after the NEXT chunk's dispatch has donated
+        the live params/opt buffers — must carry the same values as the
+        per-epoch driver's synchronous checkpoint at that epoch."""
+        from multivae_tpu.train.checkpoint import restore_checkpoint
+        from multivae_tpu.train.experiment import MultimodalExperiment
+
+        (out1, out2), (r1, r2) = runs
+        trees = []
+        for out, r in zip((out1, out2), (r1, r2)):
+            exp, _ = MultimodalExperiment.get_experiment(
+                os.path.join(out, r, "flags.json"),
+                os.path.join(out, r, "checkpoints"))
+            path = os.path.join(out, r, "checkpoints", "0004", "model")
+            trees.append(restore_checkpoint(path, exp.params[0]))
+        for a, b in zip(jax.tree_util.tree_leaves(trees[0]),
+                        jax.tree_util.tree_leaves(trees[1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_checkpoint_cadence_preserved(self, runs):
         (out1, out2), (r1, r2) = runs
         for out, r in zip((out1, out2), (r1, r2)):
