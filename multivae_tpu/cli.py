@@ -12,31 +12,16 @@ from __future__ import annotations
 
 import argparse
 import inspect
-import os
 import sys
 from typing import Callable, Dict, Sequence
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache for CLI invocations.
+    """Persistent XLA compilation cache (shared helper; see
+    ``utils/compile_cache.py`` — the env-var spelling of the option is
+    ignored by this jax build, so ``jax.config.update`` is required)."""
+    from .utils.compile_cache import enable_compile_cache
 
-    The jitted programs (especially the Pallas epoch kernels and the DAA
-    sweep) cost ~30-100 s of remote compile through the relay per fresh
-    process; with the cache, repeat workflow invocations skip straight to
-    execution. NOTE: the ``JAX_COMPILATION_CACHE_DIR`` env-var spelling is
-    silently ignored by this jax build ("cache is disabled/not
-    initialized") — ``jax.config.update`` is required.
-    """
-    cache_dir = os.environ.get(
-        "MULTIVAE_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "multivae_tpu_jax"))
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache is an optimization; never block the CLI on it
+    enable_compile_cache()
 
 
 def _add_args_from_signature(parser: argparse.ArgumentParser,

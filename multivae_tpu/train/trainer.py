@@ -432,25 +432,23 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
     runners: Dict = {}
     t0 = time.time()
     epoch = cfg.start_epoch
-    # Deferred host work for the chunk the device is still executing:
-    # (runner, flat, plans, ckpt). Draining AFTER the next chunk's dispatch
-    # overlaps the metric/param transfers and disk writes with device
-    # compute — the relay has no async host copies, so dispatch-then-fetch
-    # deferral is the only overlap available (same pattern as the DAA
-    # avatar fetch, analysis/daa.py). At reference scale the 110 checkpoint
-    # fetches are a large share of the training-loop wall clock.
+    # Deferred checkpoint for the boundary the device just passed:
+    # (ckpt_dir, networks_dir, params_snapshot, opt_snapshot). Draining
+    # AFTER the next chunk's dispatch overlaps the param transfers and disk
+    # writes with device compute — the relay has no async host copies, so
+    # dispatch-then-fetch deferral is the only overlap available (same
+    # pattern as the DAA avatar fetch, analysis/daa.py). At reference scale
+    # the 110 checkpoint fetches are a large share of the training-loop
+    # wall clock. Metrics are NOT deferred: small arrays fetched promptly
+    # take ~25 ms vs ~170 ms on the deferred slow path (BASELINE.md).
     pending = None
 
     def drain(p):
-        runner_, flat_, plans_, ckpt_ = p
-        flat_ = np.asarray(flat_)  # ONE relay fetch for K epochs of metrics
-        runner_.write_logs(logger, flat_, plans_, log_every)
-        if ckpt_ is not None:
-            ckpt_dir, networks_dir, snap_p, snap_o = ckpt_
-            host_p = jax.device_get(snap_p)  # fetch once, reuse for both
-            save_checkpoint(ckpt_dir, host_p, jax.device_get(snap_o),
-                            cfg.model_save)
-            save_networks(networks_dir, host_p)
+        ckpt_dir, networks_dir, snap_p, snap_o = p
+        host_p = jax.device_get(snap_p)  # fetch once, reuse for both
+        save_checkpoint(ckpt_dir, host_p, jax.device_get(snap_o),
+                        cfg.model_save)
+        save_networks(networks_dir, host_p)
 
     while epoch < cfg.end_epoch:
         profile_first = (profile_dir is not None and model_idx == 0
@@ -483,32 +481,34 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
                 pending = None
             jax.profiler.start_trace(profile_dir)
         params, opt_state, rng, flat = runner(params, opt_state, rng, xs)
+        if pending is not None:
+            # previous boundary's checkpoint: its snapshot completed with
+            # the previous chunk, so this ~MBs fetch + disk write runs
+            # while the chunk just dispatched computes
+            drain(pending)
+            pending = None
         epoch += k
         exp.params[model_idx] = params
         exp.opt_states[model_idx] = opt_state
         e = epoch - 1  # chunk boundary == last trained epoch
-        ckpt = None
+        # metrics are fetched EAGERLY: a small array fetched promptly after
+        # its producing dispatch takes ~25 ms through the relay vs ~170 ms
+        # on the deferred slow path (round-2 measurement, BASELINE.md)
+        flat = np.asarray(flat)
+        if profile_first:
+            jax.profiler.stop_trace()
+        runner.write_logs(logger, flat, plans, log_every)
         if (e + 1) % 5 == 0 or (e + 1) == cfg.end_epoch:
             # device-side copies: the next chunk's dispatch donates the
             # params/opt buffers, so pin the boundary values now and fetch
-            # them later, overlapped with that chunk's compute
+            # them at the next iteration, overlapped with its compute
             ckpt_dir = model_checkpoint_dir(cfg, model_idx, e)
             networks_dir = (os.path.dirname(ckpt_dir)
                             if cfg.num_models > 1 else cfg.dir_checkpoints)
-            ckpt = (ckpt_dir, networks_dir, snapshot_on_device(params),
-                    snapshot_on_device(opt_state))
-        if profile_first:
-            flat = np.asarray(flat)  # force completion inside the trace
-            jax.profiler.stop_trace()
-        if pending is not None:
-            drain(pending)
-        pending = (runner, flat, plans, ckpt)
+            pending = (ckpt_dir, networks_dir, snapshot_on_device(params),
+                       snapshot_on_device(opt_state))
         if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
                 and (cfg.calc_nll or cfg.calc_prd):
-            # NLL/PRD dispatch their own device work against exp.params;
-            # flush first so the CSV row order matches the per-epoch driver
-            drain(pending)
-            pending = None
             if cfg.calc_nll:
                 from ..eval.likelihood import estimate_likelihoods
                 lhoods = estimate_likelihoods(exp, model_idx)

@@ -14,7 +14,14 @@ from .train.config import Config
 from .train.experiment import MultimodalExperiment
 from .train.trainer import run_epochs
 from .utils.colors import print_result, print_text, print_title
+from .utils.compile_cache import enable_compile_cache
 from .utils.filehandling import create_dir_structure
+
+# Library callers (not just the CLI) get the persistent compile cache:
+# without it a fresh process pays the full ~30-370 s remote recompile of
+# the chunk/sweep programs. No-op when the process already configured a
+# cache dir (the test suite does).
+enable_compile_cache()
 
 
 def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
