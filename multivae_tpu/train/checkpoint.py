@@ -15,31 +15,8 @@ import os
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import serialization
-
-_snapshot_fn = None
-
-
-def snapshot_on_device(tree):
-    """Device-side copy of a pytree in ONE dispatch (fresh buffers).
-
-    The chunked driver donates its params/opt_state buffers into the next
-    chunk dispatch (``Config.donate_buffers``), which would invalidate them
-    before a deferred checkpoint fetch could read them. A jitted
-    whole-tree ``jnp.copy`` (no donation, so XLA materializes distinct
-    output buffers) pins the boundary values at ~zero cost — one ~10 ms
-    relay dispatch instead of one per leaf — letting the blocking
-    device->host transfer happen later, overlapped with the next chunk's
-    compute (same deferral pattern as the DAA avatar fetch,
-    ``analysis/daa.py``)."""
-    global _snapshot_fn
-    if _snapshot_fn is None:
-        _snapshot_fn = jax.jit(
-            lambda t: jax.tree_util.tree_map(jnp.copy, t))
-    return _snapshot_fn(tree)
-
 
 def save_checkpoint(ckpt_dir: str, params, opt_state=None,
                     model_save: str = "model") -> str:

@@ -4,11 +4,14 @@ Through the axon relay each dispatch costs ~10-25 ms and each metric fetch
 ~25 ms; at reference scale (550 epochs x ~6 round-trips/epoch) the relay,
 not compute, dominates wall clock (BASELINE.md round 3: ~350 s wall for
 ~5 s of kernel time). This driver chains the epochs between two host
-events (checkpoint cadence every 5 epochs, ``run_epochs.py:243-256``;
-NLL/PRD cadence, ``run_epochs.py:187-219``) into ONE jitted ``lax.scan``
-whose body is the full epoch — fused Pallas train kernel, grouped
-remainder scans, and the test pass — so a chunk costs 2-3 relay
-round-trips regardless of its length.
+events into ONE jitted nested ``lax.scan`` whose inner body is the full
+epoch — fused Pallas train kernel, grouped remainder scans, and the test
+pass — so a chunk costs 2-3 relay round-trips regardless of its length.
+Checkpoint boundaries (every 5 epochs, ``run_epochs.py:243-256``) do not
+even end a chunk: the outer scan iterates 5-epoch segments and emits each
+boundary's params/opt as stacked snapshot outputs, which the host fetches
+AFTER dispatching the next chunk (overlapping the transfer with compute);
+only NLL/PRD cadence and the end of training require the host loop.
 
 Two properties of the data pipeline make the chunk a single static
 program:
@@ -296,10 +299,24 @@ class ChunkRunner:
             return (p, o, rng), flat
 
         def run_chunk(params, opt_state, rng, resident_dev, eval_dev, xs):
-            (params, opt_state, rng), flat = jax.lax.scan(
-                make_epoch_body(resident_dev, eval_dev),
-                (params, opt_state, rng), xs)
-            return params, opt_state, rng, flat
+            # xs leaves are [n_seg, seg_len, ...]: an outer scan over
+            # checkpoint-cadence segments whose ys are the boundary
+            # params/opt snapshots (stacked into fresh buffers by the scan
+            # itself — no extra copy dispatch), and an inner scan over the
+            # segment's epochs. One dispatch therefore spans MANY
+            # checkpoint boundaries; the host fetches the stacked
+            # snapshots afterwards, overlapped with the next chunk.
+            body = make_epoch_body(resident_dev, eval_dev)
+
+            def seg_body(carry, seg_xs):
+                carry, flat = jax.lax.scan(body, carry, seg_xs)
+                p, o, _ = carry
+                return carry, (flat, p, o)
+
+            (params, opt_state, rng), (flat, snap_p, snap_o) = jax.lax.scan(
+                seg_body, (params, opt_state, rng), xs)
+            flat = flat.reshape(-1, flat.shape[-1])  # [n_seg*seg_len, L]
+            return params, opt_state, rng, flat, snap_p, snap_o
 
         donate = (0, 1) if cfg.donate_buffers else ()
         self._compiled = jax.jit(run_chunk, donate_argnums=donate)
@@ -309,29 +326,36 @@ class ChunkRunner:
                               self.resident_eval, xs)
 
     # ------------------------------------------------------------- host side
-    def stack_xs(self, plans: List[EpochPlan], eplans: List[EvalPlan]):
-        """Stack K per-epoch index plans into the chunk's xs pytree."""
+    def stack_xs(self, plans: List[EpochPlan], eplans: List[EvalPlan],
+                 n_seg: int, seg_len: int):
+        """Stack ``n_seg*seg_len`` per-epoch index plans into the chunk's
+        xs pytree, shaped ``[n_seg, seg_len, ...]`` for the nested scan."""
         n_fused, group_spec, _ = self.train_struct
         n_esc, egroup_spec, _ = self.eval_struct
+
+        def seg(arrs):
+            a = np.stack(arrs)
+            return a.reshape((n_seg, seg_len) + a.shape[1:])
+
         xs: Dict = {}
         if n_fused:
-            xs["fused"] = {m: np.stack([p.fused_rows[m] for p in plans])
+            xs["fused"] = {m: seg([p.fused_rows[m] for p in plans])
                            for m in self.mod_names}
         xs["groups"], xs["genum"] = [], []
         for key, _ in group_spec:
             xs["groups"].append(
-                {m: np.stack([p.groups[key][0][m] for p in plans])
+                {m: seg([p.groups[key][0][m] for p in plans])
                  for m in key[0]})
-            xs["genum"].append(np.stack([p.groups[key][1] for p in plans]))
+            xs["genum"].append(seg([p.groups[key][1] for p in plans]))
         if n_esc:
-            xs["esc"] = {m: np.stack([p.scan_rows[m] for p in eplans])
+            xs["esc"] = {m: seg([p.scan_rows[m] for p in eplans])
                          for m in self.mod_names}
         xs["egroups"], xs["eenum"] = [], []
         for key, _ in egroup_spec:
             xs["egroups"].append(
-                {m: np.stack([p.groups[key][0][m] for p in eplans])
+                {m: seg([p.groups[key][0][m] for p in eplans])
                  for m in key[0]})
-            xs["eenum"].append(np.stack([p.groups[key][1] for p in eplans]))
+            xs["eenum"].append(seg([p.groups[key][1] for p in eplans]))
         return xs
 
     def write_logs(self, logger, flat_np: np.ndarray,
@@ -372,21 +396,39 @@ class ChunkRunner:
                         {name: metrics[name][j] for name in metrics})
 
 
-def chunk_length(cfg, epoch: int, profile_first: bool = False) -> int:
-    """Epochs to chain from ``epoch``: up to and including the next host
-    event — checkpoint cadence (every 5, ``run_epochs.py:243-256``),
-    NLL/PRD cadence when enabled, the final epoch, or a profiling capture
-    of the first epoch — capped at ``cfg.epoch_chunk``."""
+def chunk_plan(cfg, epoch: int,
+               profile_first: bool = False) -> Tuple[int, int]:
+    """``(n_seg, seg_len)``: the segment structure of the next dispatch.
+
+    A chunk is ``n_seg`` checkpoint-cadence segments of ``seg_len`` epochs
+    each, chained into ONE device dispatch (``n_seg*seg_len`` epochs,
+    capped at ``cfg.epoch_chunk``). Checkpoint boundaries (every 5 epochs,
+    ``run_epochs.py:243-256``; plus the final epoch) do NOT break the
+    chunk: the scan emits the boundary params/opt snapshots itself, so
+    only events that run host code — NLL/PRD cadence, end of training, a
+    profiling capture — end a chunk. An aligned start (``epoch % 5 == 0``)
+    yields 5-epoch segments; a misaligned (resume) start yields one short
+    segment up to the next boundary, realigning the following chunks.
+    """
     if profile_first:
-        return 1
-    k = 1
-    while k < cfg.epoch_chunk:
-        e = epoch + k - 1  # last epoch of the candidate chunk
-        if (e + 1) % 5 == 0 or (e + 1) >= cfg.end_epoch:
-            break
+        return 1, 1
+
+    def breaks_after(e: int) -> bool:
+        """Must the host run between epoch ``e`` and ``e + 1``?"""
+        if (e + 1) >= cfg.end_epoch:
+            return True
         if cfg.calc_nll and (e + 1) % cfg.eval_freq == 0:
-            break
+            return True
         if cfg.calc_prd and (e + 1) % cfg.eval_freq_fid == 0:
-            break
+            return True
+        return False
+
+    k = 1
+    while k < min(cfg.epoch_chunk, cfg.end_epoch - epoch) \
+            and not breaks_after(epoch + k - 1):
         k += 1
-    return max(1, min(k, cfg.end_epoch - epoch))
+    if epoch % 5 == 0 and k >= 5:
+        return k // 5, 5
+    if epoch % 5 != 0:
+        return 1, min(k, 5 - epoch % 5)
+    return 1, k

@@ -101,12 +101,15 @@ class Config:
     fused_training: bool = True     # single-Pallas-kernel train step + epoch
     # scan on supported configs (ops/fused_step.py); per-step metric logging
     # then reduces to the loss (full metric families still logged at test)
-    epoch_chunk: int = 10           # max epochs chained into ONE device
+    epoch_chunk: int = 50           # max epochs chained into ONE device
     # dispatch (train/chunked.py): the dominant cost of long trainings on
     # this relay-attached host is the ~6 host<->device round-trips per
-    # epoch, not compute. Chunks always end at the next host event
-    # (checkpoint/NLL/PRD cadence), so artifacts and logs are unchanged and
-    # training is numerically identical to the per-epoch driver. 1 disables.
+    # epoch, not compute. Checkpoint boundaries inside a chunk are emitted
+    # by the scan itself as device-side snapshots (~epoch_chunk/5 copies of
+    # params+opt_state live on device per chunk — size accordingly), so
+    # chunks end only at NLL/PRD cadence or the end of training; artifacts
+    # and logs are unchanged and training is numerically identical to the
+    # per-epoch driver. 1 disables.
 
     # derived (filled by derive())
     num_mods: int = 0

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data import MissingModalitySampler, simple_batches
 from ..utils.filehandling import model_checkpoint_dir, model_log_dir
-from .checkpoint import save_checkpoint, save_networks, snapshot_on_device
+from .checkpoint import save_checkpoint, save_networks
 from .logging import MetricLogger
 from .train_step import (
     make_ensemble_scan_train_step,
@@ -405,14 +405,17 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
 
     Numerically identical to the per-epoch driver — same batch partition,
     same rng split chain, same sorted group order — but the whole
-    train+test epoch body runs inside one ``lax.scan`` chained up to the
-    next host event (checkpoint every 5 epochs, ``run_epochs.py:243-256``;
-    NLL/PRD cadence), cutting host<->device round-trips from ~6/epoch to
-    ~3/chunk. On the relay-attached host this is the difference between
-    ~350 s and well under 2 min at reference scale (550 epochs)."""
+    train+test epoch body runs inside one nested ``lax.scan`` chained up
+    to the next host event (NLL/PRD cadence, end of training). Checkpoint
+    boundaries (every 5 epochs, ``run_epochs.py:243-256``) do not end a
+    chunk: the scan's outer axis iterates 5-epoch segments and emits each
+    boundary's params/opt as stacked snapshots, fetched after the NEXT
+    chunk's dispatch so the transfer overlaps compute. At reference scale
+    (550 epochs) this cuts the host loop from ~6 round-trips/epoch to ~2
+    dispatches + 1 deferred fetch per ``epoch_chunk`` epochs."""
     from .chunked import (
         ChunkRunner,
-        chunk_length,
+        chunk_plan,
         make_resident,
         plan_eval_epoch,
         plan_train_epoch,
@@ -432,28 +435,40 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
     runners: Dict = {}
     t0 = time.time()
     epoch = cfg.start_epoch
-    # Deferred checkpoint for the boundary the device just passed:
-    # (ckpt_dir, networks_dir, params_snapshot, opt_snapshot). Draining
-    # AFTER the next chunk's dispatch overlaps the param transfers and disk
-    # writes with device compute — the relay has no async host copies, so
-    # dispatch-then-fetch deferral is the only overlap available (same
-    # pattern as the DAA avatar fetch, analysis/daa.py). At reference scale
-    # the 110 checkpoint fetches are a large share of the training-loop
-    # wall clock. Metrics are NOT deferred: small arrays fetched promptly
-    # take ~25 ms vs ~170 ms on the deferred slow path (BASELINE.md).
+    # Deferred checkpoints for the boundaries inside the chunk the device
+    # just finished: (networks_dir, stacked_params, stacked_opt, entries)
+    # where the snapshots are the chunk scan's own [n_seg, ...] ys and
+    # entries lists (segment_index, ckpt_dir) per checkpoint boundary.
+    # Draining AFTER the next chunk's dispatch overlaps the param
+    # transfers and disk writes with device compute — the relay has no
+    # async host copies, so dispatch-then-fetch deferral is the only
+    # overlap available (same pattern as the DAA avatar fetch,
+    # analysis/daa.py). At reference scale the 110 checkpoint fetches are
+    # a large share of the training-loop wall clock. Metrics are NOT
+    # deferred: small arrays fetched promptly take ~25 ms vs ~170 ms on
+    # the deferred slow path (BASELINE.md).
     pending = None
 
     def drain(p):
-        ckpt_dir, networks_dir, snap_p, snap_o = p
-        host_p = jax.device_get(snap_p)  # fetch once, reuse for both
-        save_checkpoint(ckpt_dir, host_p, jax.device_get(snap_o),
-                        cfg.model_save)
-        save_networks(networks_dir, host_p)
+        networks_dir, snap_p, snap_o, entries = p
+        host_p = jax.device_get(snap_p)  # [n_seg, ...]; one fetch per leaf
+        host_o = jax.device_get(snap_o)
+        row = None
+        for si, ckpt_dir in entries:
+            row = jax.tree_util.tree_map(lambda t: t[si], host_p)
+            save_checkpoint(ckpt_dir, row,
+                            jax.tree_util.tree_map(lambda t: t[si], host_o),
+                            cfg.model_save)
+        # the enc_/dec_ dumps are overwritten at every save
+        # (BaseMMVae.py:315-322) — only the last boundary's state is
+        # observable, so write it once per chunk
+        save_networks(networks_dir, row)
 
     while epoch < cfg.end_epoch:
         profile_first = (profile_dir is not None and model_idx == 0
                          and epoch == cfg.start_epoch)
-        k = chunk_length(cfg, epoch, profile_first=profile_first)
+        n_seg, seg_len = chunk_plan(cfg, epoch, profile_first=profile_first)
+        k = n_seg * seg_len
         plans = [plan_train_epoch(cfg, dataset, mod_names, e,
                                   fused_scan_fn is not None)
                  for e in range(epoch, epoch + k)]
@@ -467,26 +482,43 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
         while same < k and (plans[same].structure(),
                             eplans[same].structure()) == struct:
             same += 1
-        k, plans, eplans = same, plans[:same], eplans[:same]
+        if same < k:  # keep whole segments; else a single short segment
+            n_seg, seg_len = ((same // seg_len, seg_len)
+                              if same >= seg_len else (1, same))
+            k = n_seg * seg_len
+            plans, eplans = plans[:k], eplans[:k]
         runner = runners.get(struct)
         if runner is None:
             runner = ChunkRunner(cfg, exp.model, struct[0], struct[1],
                                  fused_scan_fn, res_train, res_eval,
                                  params, opt_state)
             runners[struct] = runner
-        xs = runner.stack_xs(plans, eplans)
+        xs = runner.stack_xs(plans, eplans, n_seg, seg_len)
         if profile_first:
             if pending is not None:
                 drain(pending)  # keep prior host work out of the trace
                 pending = None
             jax.profiler.start_trace(profile_dir)
-        params, opt_state, rng, flat = runner(params, opt_state, rng, xs)
+        params, opt_state, rng, flat, snap_p, snap_o = runner(
+            params, opt_state, rng, xs)
         if pending is not None:
-            # previous boundary's checkpoint: its snapshot completed with
-            # the previous chunk, so this ~MBs fetch + disk write runs
-            # while the chunk just dispatched computes
+            # previous chunk's boundary checkpoints: their snapshots
+            # completed with that chunk, so this ~MBs fetch + disk write
+            # runs while the chunk just dispatched computes
             drain(pending)
             pending = None
+        # checkpoint boundaries inside this chunk fall on segment ends;
+        # the scan emitted their params/opt as snap_p/snap_o rows
+        entries = []
+        for si in range(n_seg):
+            e_seg = epoch + (si + 1) * seg_len - 1
+            if (e_seg + 1) % 5 == 0 or (e_seg + 1) == cfg.end_epoch:
+                entries.append(
+                    (si, model_checkpoint_dir(cfg, model_idx, e_seg)))
+        if entries:
+            networks_dir = (os.path.dirname(entries[-1][1])
+                            if cfg.num_models > 1 else cfg.dir_checkpoints)
+            pending = (networks_dir, snap_p, snap_o, entries)
         epoch += k
         exp.params[model_idx] = params
         exp.opt_states[model_idx] = opt_state
@@ -498,15 +530,6 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
         if profile_first:
             jax.profiler.stop_trace()
         runner.write_logs(logger, flat, plans, log_every)
-        if (e + 1) % 5 == 0 or (e + 1) == cfg.end_epoch:
-            # device-side copies: the next chunk's dispatch donates the
-            # params/opt buffers, so pin the boundary values now and fetch
-            # them at the next iteration, overlapped with its compute
-            ckpt_dir = model_checkpoint_dir(cfg, model_idx, e)
-            networks_dir = (os.path.dirname(ckpt_dir)
-                            if cfg.num_models > 1 else cfg.dir_checkpoints)
-            pending = (ckpt_dir, networks_dir, snapshot_on_device(params),
-                       snapshot_on_device(opt_state))
         if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
                 and (cfg.calc_nll or cfg.calc_prd):
             if cfg.calc_nll:

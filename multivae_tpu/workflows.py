@@ -35,7 +35,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               out_scale_per_subject=False, method="joint_elbo",
               grad_scaling=False, use_tensorboard=True, log_every=1,
               data_parallel=1, ensemble_parallel="auto",
-              fused_training=True, epoch_chunk=10, profile_dir=None,
+              fused_training=True, epoch_chunk=50, profile_dir=None,
               calc_nll=False, calc_prd=False):
     """Train the model (``workflow.py:41-182``); same parameter surface.
 

@@ -21,19 +21,21 @@ class TestChunkedEquivalence:
     @pytest.fixture(scope="class")
     def runs(self, tmp_path_factory):
         """The same tiny missing-blocks cohort trained with epoch_chunk=1
-        (per-epoch driver) and epoch_chunk=10 (chunks of 5+1)."""
+        (per-epoch driver) and epoch_chunk=50 (a 2-segment chunk of 10
+        epochs spanning the 0004 and 0009 checkpoint boundaries, plus a
+        2-epoch tail chunk ending at the final-epoch checkpoint)."""
         root = tmp_path_factory.mktemp("chunked")
         datasetdir = str(root / "data")
         make_synthetic_cohort(datasetdir, n_subjects=80, n_scores=4,
                               n_rois=16, missing_rate=0.2, seed=1)
         outs, names = [], []
-        for chunk in (1, 10):
+        for chunk in (1, 50):
             outdir = str(root / f"out{chunk}")
             os.makedirs(outdir)
             run = train_exp(
                 dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
                 input_dims=[4, 16], latent_dim=4, style_dim=[2, 3],
-                num_epochs=6, batch_size=32, method="joint_elbo",
+                num_epochs=12, batch_size=32, method="joint_elbo",
                 learning_rate=0.01, use_tensorboard=False,
                 epoch_chunk=chunk)
             outs.append(outdir)
@@ -70,11 +72,13 @@ class TestChunkedEquivalence:
         np.testing.assert_allclose(d1["value"].values, d2["value"].values,
                                    rtol=1e-3, atol=1e-3)
 
-    def test_mid_run_checkpoint_matches_per_epoch(self, runs):
-        """The deferred checkpoint at the epoch-4 boundary — a device-side
-        snapshot fetched only after the NEXT chunk's dispatch has donated
-        the live params/opt buffers — must carry the same values as the
-        per-epoch driver's synchronous checkpoint at that epoch."""
+    @pytest.mark.parametrize("boundary", ["0004", "0009"])
+    def test_mid_run_checkpoint_matches_per_epoch(self, runs, boundary):
+        """Both checkpoint boundaries INSIDE the 10-epoch chunk — emitted
+        as the chunk scan's own snapshot outputs and fetched only after
+        the next chunk's dispatch donated the live params/opt buffers —
+        must carry the same values as the per-epoch driver's synchronous
+        checkpoints at those epochs."""
         from multivae_tpu.train.checkpoint import restore_checkpoint
         from multivae_tpu.train.experiment import MultimodalExperiment
 
@@ -84,7 +88,7 @@ class TestChunkedEquivalence:
             exp, _ = MultimodalExperiment.get_experiment(
                 os.path.join(out, r, "flags.json"),
                 os.path.join(out, r, "checkpoints"))
-            path = os.path.join(out, r, "checkpoints", "0004", "model")
+            path = os.path.join(out, r, "checkpoints", boundary, "model")
             trees.append(restore_checkpoint(path, exp.params[0]))
         for a, b in zip(jax.tree_util.tree_leaves(trees[0]),
                         jax.tree_util.tree_leaves(trees[1])):
@@ -97,7 +101,7 @@ class TestChunkedEquivalence:
             ckpts = sorted(d for d in os.listdir(
                 os.path.join(out, r, "checkpoints"))
                 if os.path.isdir(os.path.join(out, r, "checkpoints", d)))
-            assert ckpts == ["0004", "0005"]
+            assert ckpts == ["0004", "0009", "0011"]
 
 
 class TestResident:
@@ -131,48 +135,60 @@ class TestResident:
             np.testing.assert_array_equal(resident[mod][rows], batch)
 
 
-class TestChunkLength:
+class TestChunkPlan:
     def _cfg(self, **kw):
         base = dict(dataset="synthetic", input_dim=[3, 8], class_dim=4,
                     style_dim=[2, 2], end_epoch=23, method="joint_elbo",
-                    epoch_chunk=10)
+                    epoch_chunk=50)
         base.update(kw)
         return Config(**base).derive()
 
-    def test_breaks_at_checkpoint_cadence(self):
-        from multivae_tpu.train.chunked import chunk_length
+    def test_spans_checkpoint_boundaries_as_segments(self):
+        from multivae_tpu.train.chunked import chunk_plan
 
         cfg = self._cfg()
-        # epoch 0: chain up to epoch 4 (checkpoint after (4+1)%5==0)
-        assert chunk_length(cfg, 0) == 5
-        assert chunk_length(cfg, 5) == 5
-        # mid-cadence start (resume): chunk ends at the next boundary
-        assert chunk_length(cfg, 3) == 2
-        # tail: end_epoch=23 -> epochs 20,21,22 (23 % 5 != 0)
-        assert chunk_length(cfg, 20) == 3
+        # epoch 0, end 23: 20 whole 5-epoch segments fit before the tail —
+        # boundaries 4/9/14/19 are snapshot rows, not chunk breaks
+        assert chunk_plan(cfg, 0) == (4, 5)
+        # tail: epochs 20,21,22 in one short segment, ending at end_epoch
+        assert chunk_plan(cfg, 20) == (1, 3)
+        # mid-cadence start (resume): one short segment realigns to the
+        # next boundary (epochs 3,4), then 5-epoch segments resume
+        assert chunk_plan(cfg, 3) == (1, 2)
+        assert chunk_plan(cfg, 5) == (3, 5)
+
+    def test_epoch_chunk_caps_total_epochs(self):
+        from multivae_tpu.train.chunked import chunk_plan
+
+        cfg = self._cfg(epoch_chunk=10, end_epoch=100)
+        assert chunk_plan(cfg, 0) == (2, 5)
+        # a sub-segment cap still chains up to the cap in one segment
+        cfg2 = self._cfg(epoch_chunk=3, end_epoch=100)
+        assert chunk_plan(cfg2, 0) == (1, 3)
 
     def test_breaks_at_eval_cadence_when_enabled(self):
-        from multivae_tpu.train.chunked import chunk_length
+        from multivae_tpu.train.chunked import chunk_plan
 
         cfg = self._cfg(calc_nll=True, eval_freq=3, end_epoch=30)
         # NLL fires after epoch 2 ((2+1)%3==0): chunk is 3, not 5
-        assert chunk_length(cfg, 0) == 3
+        assert chunk_plan(cfg, 0) == (1, 3)
         cfg2 = self._cfg(calc_nll=False, eval_freq=3, end_epoch=30)
-        assert chunk_length(cfg2, 0) == 5
+        assert chunk_plan(cfg2, 0) == (6, 5)
+        # PRD cadence breaks too
+        cfg3 = self._cfg(calc_prd=True, eval_freq_fid=7, end_epoch=30)
+        assert chunk_plan(cfg3, 0) == (1, 5)
 
     def test_profile_first_is_single_epoch(self):
-        from multivae_tpu.train.chunked import chunk_length
+        from multivae_tpu.train.chunked import chunk_plan
 
         cfg = self._cfg()
-        assert chunk_length(cfg, 0, profile_first=True) == 1
+        assert chunk_plan(cfg, 0, profile_first=True) == (1, 1)
 
-    def test_cap_and_end(self):
-        from multivae_tpu.train.chunked import chunk_length
+    def test_short_runs(self):
+        from multivae_tpu.train.chunked import chunk_plan
 
         cfg = self._cfg(end_epoch=2)
-        assert chunk_length(cfg, 0) == 2
-        cfg2 = self._cfg(epoch_chunk=3, end_epoch=100)
-        assert chunk_length(cfg2, 0) == 3
+        assert chunk_plan(cfg, 0) == (1, 2)
 
 
 class TestChunkedMembers:
