@@ -36,9 +36,11 @@ def setup(method):
 
 
 @pytest.mark.parametrize("method", [
-    "joint_elbo", "poe",
-    # moe/jsd differ from the fast pair only in the loss-assembly branch;
-    # their exactness stays covered in the slow suite
+    "joint_elbo",
+    # the other methods differ from joint_elbo only in the loss-assembly
+    # branch (poe also re-runs unimodal ELBOs, covered exactly by the
+    # method-kernel parity tests); their exactness stays in the slow suite
+    pytest.param("poe", marks=pytest.mark.slow),
     pytest.param("moe", marks=pytest.mark.slow),
     pytest.param("jsd", marks=pytest.mark.slow),
 ])
@@ -71,7 +73,10 @@ def test_matches_general_path(method):
     assert rel < 0.1, (float(losses_e[-1]), float(loss_s))
 
 
-@pytest.mark.parametrize("likelihood", ["laplace", "bernoulli",
+@pytest.mark.parametrize("likelihood", ["laplace",
+                                        pytest.param(
+                                            "bernoulli",
+                                            marks=pytest.mark.slow),
                                         pytest.param("categorical",
                                                      marks=pytest.mark.slow)])
 def test_matches_general_path_other_likelihoods(likelihood):
@@ -189,7 +194,9 @@ class TestDropoutDeepArch:
         sem = np.sqrt(np.var(k_losses) / 20 + np.var(g_losses) / 20)
         assert abs(km - gm) < max(4 * sem, 0.02 * abs(gm)), (km, gm, sem)
 
-    @pytest.mark.parametrize("method", ["joint_elbo", "poe"])
+    @pytest.mark.parametrize("method", [
+        "joint_elbo",
+        pytest.param("poe", marks=pytest.mark.slow)])
     def test_dropout_training_progresses(self, method):
         """The deep-decoder + dropout config trains on the generic kernel:
         one scanned dispatch, finite and decreasing losses."""

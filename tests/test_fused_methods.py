@@ -74,7 +74,15 @@ def general_loss(cfg, model, params, batch, noise):
 
 
 class TestSplitForwardParity:
-    @pytest.mark.parametrize("method", METHODS)
+    @pytest.mark.parametrize("method", [
+        "joint_elbo",
+        # the grads test below re-derives each method's loss value on the
+        # same split forward; the metric-family comparison for the other
+        # methods stays in the slow suite
+        pytest.param("moe", marks=pytest.mark.slow),
+        pytest.param("poe", marks=pytest.mark.slow),
+        pytest.param("jsd", marks=pytest.mark.slow),
+    ])
     def test_loss_metrics_match_general_path(self, method):
         cfg, model, batch, params, _, noise = make_setup(method)
         loss_ref, metrics_ref = general_loss(cfg, model, params, batch,
@@ -115,9 +123,11 @@ class TestSplitForwardParity:
 
 class TestMethodEpochKernel:
     @pytest.mark.parametrize("method", [
-        "joint_elbo", "poe",
-        # moe/jsd exercise the same epoch-scan plumbing; their exactness
+        # poe is the trickiest epoch plumbing (unimodal ELBO re-runs);
+        # the others exercise the same scan wiring and their exactness
         # stays covered in the slow suite
+        "poe",
+        pytest.param("joint_elbo", marks=pytest.mark.slow),
         pytest.param("moe", marks=pytest.mark.slow),
         pytest.param("jsd", marks=pytest.mark.slow),
     ])

@@ -108,7 +108,13 @@ class TestLossComposition:
 
 
 class TestOptimization:
-    @pytest.mark.parametrize("method", ["moe", "poe", "jsd", "joint_elbo"])
+    @pytest.mark.parametrize("method", [
+        "poe", "joint_elbo",
+        # moe/jsd share the mixture-loss plumbing checked exactly by
+        # TestLossComposition; their 60-step runs stay in the slow suite
+        pytest.param("moe", marks=pytest.mark.slow),
+        pytest.param("jsd", marks=pytest.mark.slow),
+    ])
     def test_loss_decreases(self, method):
         cfg = make_cfg(method)
         batch = correlated_batch(cfg)
