@@ -316,6 +316,14 @@ class ChunkRunner:
             (params, opt_state, rng), (flat, snap_p, snap_o) = jax.lax.scan(
                 seg_body, (params, opt_state, rng), xs)
             flat = flat.reshape(-1, flat.shape[-1])  # [n_seg*seg_len, L]
+            # the save_optimizer policy trims the opt snapshots ON DEVICE,
+            # so the host only ever transfers what it will write to disk
+            # (the opt tree is ~2x the params; at reference scale this is
+            # the dominant checkpoint transfer over the relay)
+            if cfg.save_optimizer == "latest":
+                snap_o = jax.tree_util.tree_map(lambda t: t[-1:], snap_o)
+            elif cfg.save_optimizer == "none":
+                snap_o = None
             return params, opt_state, rng, flat, snap_p, snap_o
 
         donate = (0, 1) if cfg.donate_buffers else ()

@@ -452,13 +452,22 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
     def drain(p):
         networks_dir, snap_p, snap_o, entries = p
         host_p = jax.device_get(snap_p)  # [n_seg, ...]; one fetch per leaf
-        host_o = jax.device_get(snap_o)
+        # snap_o follows cfg.save_optimizer: [n_seg, ...] ("all"),
+        # [1, ...] holding only the newest boundary ("latest" — whenever
+        # entries is non-empty the last segment's end IS the last
+        # boundary), or None ("none")
+        host_o = None if snap_o is None else jax.device_get(snap_o)
         row = None
         for si, ckpt_dir in entries:
             row = jax.tree_util.tree_map(lambda t: t[si], host_p)
-            save_checkpoint(ckpt_dir, row,
-                            jax.tree_util.tree_map(lambda t: t[si], host_o),
-                            cfg.model_save)
+            if host_o is None:
+                opt_row = None
+            elif cfg.save_optimizer == "latest":
+                opt_row = (jax.tree_util.tree_map(lambda t: t[0], host_o)
+                           if (si, ckpt_dir) == entries[-1] else None)
+            else:
+                opt_row = jax.tree_util.tree_map(lambda t: t[si], host_o)
+            save_checkpoint(ckpt_dir, row, opt_row, cfg.model_save)
         # the enc_/dec_ dumps are overwritten at every save
         # (BaseMMVae.py:315-322) — only the last boundary's state is
         # observable, so write it once per chunk
@@ -680,8 +689,12 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
             if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:
                 ckpt_dir = model_checkpoint_dir(cfg, model_idx, epoch)
                 host_p = jax.device_get(exp.params[model_idx])  # fetch once
+                # per-epoch driver: every boundary is the newest at write
+                # time, so "latest" keeps writing opt_state here
                 save_checkpoint(ckpt_dir, host_p,
-                                exp.opt_states[model_idx], cfg.model_save)
+                                exp.opt_states[model_idx]
+                                if cfg.save_optimizer != "none" else None,
+                                cfg.model_save)
                 save_networks(os.path.dirname(ckpt_dir)
                               if cfg.num_models > 1 else cfg.dir_checkpoints,
                               host_p)
@@ -761,7 +774,9 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
             for m in range(cfg.num_models):
                 ckpt_dir = model_checkpoint_dir(cfg, m, epoch)
                 host_p = jax.device_get(exp.params[m])  # fetch once
-                save_checkpoint(ckpt_dir, host_p, exp.opt_states[m],
+                save_checkpoint(ckpt_dir, host_p,
+                                exp.opt_states[m]
+                                if cfg.save_optimizer != "none" else None,
                                 cfg.model_save)
                 save_networks(os.path.dirname(ckpt_dir), host_p)
         if progress:

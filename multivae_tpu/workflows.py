@@ -35,8 +35,8 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               out_scale_per_subject=False, method="joint_elbo",
               grad_scaling=False, use_tensorboard=True, log_every=1,
               data_parallel=1, ensemble_parallel="auto",
-              fused_training=True, epoch_chunk=50, profile_dir=None,
-              calc_nll=False, calc_prd=False):
+              fused_training=True, epoch_chunk=50, save_optimizer="all",
+              profile_dir=None, calc_nll=False, calc_prd=False):
     """Train the model (``workflow.py:41-182``); same parameter surface.
 
     Creates the run directory ``<dataset>_<timestamp>``, trains all ensemble
@@ -52,6 +52,9 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     ``fused_training`` enables the single-kernel Pallas epoch path;
     ``epoch_chunk`` chains up to that many epochs into one device dispatch
     (train/chunked.py; 1 disables);
+    ``save_optimizer`` controls opt_state persistence per checkpoint
+    (``all`` | ``latest`` | ``none`` — see train/config.py; ``latest``
+    cuts the dominant checkpoint transfer ~3x on relay-attached hosts);
     ``profile_dir`` captures a ``jax.profiler`` trace of the first epoch.
     """
     print_title(f"TRAIN: {dataset}")
@@ -74,7 +77,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
         data_parallel=int(data_parallel),
         ensemble_parallel=ensemble_parallel,
         fused_training=bool(fused_training),
-        epoch_chunk=int(epoch_chunk),
+        epoch_chunk=int(epoch_chunk), save_optimizer=save_optimizer,
         calc_nll=bool(calc_nll), calc_prd=bool(calc_prd),
     ).derive()
     create_dir_structure(cfg)

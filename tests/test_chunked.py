@@ -135,6 +135,50 @@ class TestResident:
             np.testing.assert_array_equal(resident[mod][rows], batch)
 
 
+class TestSaveOptimizerPolicy:
+    def _train(self, root, policy):
+        datasetdir = str(root / "data")
+        if not os.path.isdir(datasetdir):
+            make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=3,
+                                  n_rois=10, missing_rate=0.0, seed=3)
+        outdir = str(root / f"out_{policy}")
+        os.makedirs(outdir)
+        run = train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[3, 10], latent_dim=4, style_dim=[2, 2],
+            num_epochs=12, batch_size=32, method="joint_elbo",
+            learning_rate=0.01, use_tensorboard=False, epoch_chunk=50,
+            save_optimizer=policy)
+        return os.path.join(outdir, run, "checkpoints")
+
+    def test_latest_writes_opt_only_at_chunk_newest(self, tmp_path):
+        """``latest`` persists opt_state only for the newest boundary of
+        each chunk: here the 12 epochs run as one 10-epoch chunk
+        (boundaries 0004, 0009) plus a 2-epoch tail (0011), so 0009 and
+        0011 carry opt_state and 0004 does not. Params are written for
+        every boundary regardless, and resume-from-latest stays exact."""
+        ckpts = self._train(tmp_path, "latest")
+        assert sorted(d for d in os.listdir(ckpts)
+                      if os.path.isdir(os.path.join(ckpts, d))) \
+            == ["0004", "0009", "0011"]
+        has_opt = {d: os.path.exists(os.path.join(ckpts, d, "opt_state"))
+                   for d in ("0004", "0009", "0011")}
+        assert has_opt == {"0004": False, "0009": True, "0011": True}
+
+    def test_none_writes_no_opt_state(self, tmp_path):
+        ckpts = self._train(tmp_path, "none")
+        for d in os.listdir(ckpts):
+            assert not os.path.exists(os.path.join(ckpts, d, "opt_state"))
+            if os.path.isdir(os.path.join(ckpts, d)):
+                assert os.path.exists(os.path.join(ckpts, d, "model"))
+
+    def test_rejects_unknown_policy(self):
+        with pytest.raises(ValueError, match="save_optimizer"):
+            Config(dataset="synthetic", input_dim=[3, 8], class_dim=4,
+                   style_dim=[2, 2], end_epoch=5, method="joint_elbo",
+                   save_optimizer="sometimes").derive()
+
+
 class TestChunkPlan:
     def _cfg(self, **kw):
         base = dict(dataset="synthetic", input_dim=[3, 8], class_dim=4,
