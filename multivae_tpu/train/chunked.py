@@ -211,7 +211,8 @@ class ChunkRunner:
     """
 
     def __init__(self, cfg, model, train_struct, eval_struct, fused_scan_fn,
-                 resident_train, resident_eval, params, opt_state):
+                 resident_train, resident_eval, params, opt_state,
+                 mesh=None):
         from .train_step import make_scan_eval_step, make_scan_train_step
 
         self.cfg = cfg
@@ -221,14 +222,34 @@ class ChunkRunner:
         n_esc, egroup_spec, n_eothers = eval_struct
         mod_names = [m.name for m in model.modalities]
         self.mod_names = mod_names
-        group_fn = make_scan_train_step(cfg, model, donate=False)
+        # remainder groups keep the data mesh only when their rows divide
+        # it (same policy as the per-epoch driver's remainder_scan_factory)
+        n_dev = mesh.shape["data"] if mesh is not None else 1
+        _scan_cache: Dict = {}
+
+        def group_fn_for(rows):
+            use_mesh = mesh if (mesh is not None
+                                and rows % n_dev == 0) else None
+            key = use_mesh is not None
+            if key not in _scan_cache:
+                _scan_cache[key] = make_scan_train_step(
+                    cfg, model, mesh=use_mesh, donate=False)
+            return _scan_cache[key]
+
         eval_fn = make_scan_eval_step(cfg, model)
         # residents are ARGUMENTS of the compiled chunk (not closure
         # constants): the program stays constant-free, so the persistent
-        # compile cache hits across ensemble members and processes
-        self.resident = {m: jax.device_put(np.asarray(resident_train[m]))
+        # compile cache hits across ensemble members and processes. On a
+        # mesh they are replicated so every device can gather its rows.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
+            put = lambda a: jax.device_put(a, repl)  # noqa: E731
+        else:
+            put = jax.device_put
+        self.resident = {m: put(np.asarray(resident_train[m]))
                          for m in resident_train}
-        self.resident_eval = {m: jax.device_put(np.asarray(resident_eval[m]))
+        self.resident_eval = {m: put(np.asarray(resident_eval[m]))
                               for m in resident_eval}
         dims = {m: self.resident[m].shape[1] for m in self.resident}
 
@@ -245,9 +266,12 @@ class ChunkRunner:
             fused_keys = _metric_keys(fused_scan_fn, params, opt_state, b, r)
             self.segments.append(("train", fused_keys, n_fused))
         group_keys: List[List[str]] = []
+        group_fns = []
         for (mods, rows), n_b in group_spec:
             b, r = tb(mods, rows, n_b)
-            keys = _metric_keys(group_fn, params, opt_state, b, r)
+            fn = group_fn_for(rows)
+            group_fns.append(fn)
+            keys = _metric_keys(fn, params, opt_state, b, r)
             group_keys.append(keys)
             self.segments.append(("train", keys, n_b))
         esc_keys: List[str] = []
@@ -279,7 +303,7 @@ class ChunkRunner:
                 rng, subs = _split_chain(rng, n_general)
             for gi, ((mods, rows), n_b) in enumerate(group_spec):
                 gb = {m: resident_dev[m][x["groups"][gi][m]] for m in mods}
-                p, o, _, gm = group_fn(p, o, gb, subs[x["genum"][gi]])
+                p, o, _, gm = group_fns[gi](p, o, gb, subs[x["genum"][gi]])
                 outs += [gm[k] for k in group_keys[gi]]
             if n_esc:
                 rng, sub = jax.random.split(rng)

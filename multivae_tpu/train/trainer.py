@@ -399,7 +399,7 @@ def resume_from_checkpoints(exp) -> int:
 
 def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
                         log_every: int = 1, progress: bool = True,
-                        profile_dir: str | None = None):
+                        profile_dir: str | None = None, mesh=None):
     """Train one member with K epochs per device dispatch
     (:mod:`multivae_tpu.train.chunked`).
 
@@ -500,7 +500,7 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
         if runner is None:
             runner = ChunkRunner(cfg, exp.model, struct[0], struct[1],
                                  fused_scan_fn, res_train, res_eval,
-                                 params, opt_state)
+                                 params, opt_state, mesh=mesh)
             runners[struct] = runner
         xs = runner.stack_xs(plans, eplans, n_seg, seg_len)
         if profile_first:
@@ -655,9 +655,9 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     if not cfg.fused_training:
         remainder_scan_factory = None
     # K-epochs-per-dispatch driver whenever an epoch-level scan fn exists
-    # on a single device; numerically identical to the loop below
-    use_chunked = (cfg.epoch_chunk > 1 and mesh is None
-                   and fused_scan_fn is not None)
+    # (single-device or data-parallel — any mesh-eligible fused_scan_fn is
+    # already batch-divisible); numerically identical to the loop below
+    use_chunked = cfg.epoch_chunk > 1 and fused_scan_fn is not None
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),
@@ -666,7 +666,7 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
         if use_chunked:
             _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
                                 log_every=log_every, progress=progress,
-                                profile_dir=profile_dir)
+                                profile_dir=profile_dir, mesh=mesh)
             logger.close()
             continue
         rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
