@@ -284,24 +284,30 @@ def _run_jax_stage_watchdogged():
     fetch is BLOCKED (the shared-pool relay can stall for many minutes at
     a stretch), which would leave the driver with no JSON line at all. A
     child process can always be killed; one retry rescues a transient
-    congestion wave. Returns ``(train_sps, avatars_per_sec, moe_sps)`` or
-    ``None`` if both attempts stalled."""
+    congestion wave. The first cap budgets for a cold remote compile
+    (~370 s) PLUS the child's own 330 s measurement deadline; the retry
+    assumes the compile cache was populated by the first attempt. Returns
+    ``(train_sps, avatars_per_sec, moe_sps)`` or ``None`` if both
+    attempts stalled."""
     import os
     import subprocess
     import sys
 
-    for cap_s in (420.0, 300.0):
+    for cap_s in (750.0, 420.0):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", "jax"],
                 capture_output=True, text=True, timeout=cap_s)
-            lines = [ln for ln in proc.stdout.strip().splitlines()
-                     if ln.startswith("{")]
-            if proc.returncode == 0 and lines:
-                p = json.loads(lines[-1])
-                return p["train_sps"], p["avatars_per_sec"], p["moe_sps"]
         except subprocess.TimeoutExpired:
-            pass
+            continue
+        if proc.returncode != 0:
+            continue
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            try:
+                p = json.loads(ln)
+                return p["train_sps"], p["avatars_per_sec"], p["moe_sps"]
+            except (ValueError, TypeError, KeyError):
+                continue  # stray stdout line; keep scanning upwards
     return None
 
 

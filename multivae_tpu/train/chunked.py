@@ -222,14 +222,14 @@ class ChunkRunner:
         n_esc, egroup_spec, n_eothers = eval_struct
         mod_names = [m.name for m in model.modalities]
         self.mod_names = mod_names
-        # remainder groups keep the data mesh only when their rows divide
-        # it (same policy as the per-epoch driver's remainder_scan_factory)
-        n_dev = mesh.shape["data"] if mesh is not None else 1
+        # remainder groups follow the shared mesh_for_rows policy (one
+        # definition with the per-epoch driver's remainder_scan_factory)
+        from .train_step import mesh_for_rows
+
         _scan_cache: Dict = {}
 
         def group_fn_for(rows):
-            use_mesh = mesh if (mesh is not None
-                                and rows % n_dev == 0) else None
+            use_mesh = mesh_for_rows(mesh, rows)
             key = use_mesh is not None
             if key not in _scan_cache:
                 _scan_cache[key] = make_scan_train_step(

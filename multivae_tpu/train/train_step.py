@@ -117,6 +117,17 @@ def make_train_step(cfg, model, optimizer: Optional[optax.GradientTransformation
     )
 
 
+def mesh_for_rows(mesh: Optional[Mesh], rows: int) -> Optional[Mesh]:
+    """The ONE remainder-group sharding policy, shared by the per-epoch
+    driver's ``remainder_scan_factory`` and the chunked runner: a group
+    keeps the data mesh only when its row count divides the ``data``
+    axis (otherwise it runs replicated — remainder groups are rare and
+    small, and padding them would change the update math)."""
+    if mesh is None or rows % mesh.shape["data"] != 0:
+        return None
+    return mesh
+
+
 def make_scan_train_step(cfg, model, optimizer=None,
                          mesh: Optional[Mesh] = None, donate: bool = True):
     """Multi-step trainer: ``lax.scan`` over a stacked batch axis.

@@ -643,11 +643,9 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     def remainder_scan_factory(key):
         scan_fn = remainder_scan_cache.get(key)
         if scan_fn is None:
-            from .train_step import make_scan_train_step
-            rows = key[1]
-            use_mesh = (mesh if mesh is not None
-                        and rows % cfg.data_parallel == 0 else None)
-            scan_fn = make_scan_train_step(cfg, exp.model, mesh=use_mesh,
+            from .train_step import make_scan_train_step, mesh_for_rows
+            scan_fn = make_scan_train_step(cfg, exp.model,
+                                           mesh=mesh_for_rows(mesh, key[1]),
                                            donate=cfg.donate_buffers)
             remainder_scan_cache[key] = scan_fn
         return scan_fn

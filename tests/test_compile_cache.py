@@ -16,6 +16,8 @@ def test_compile_cache_configuration():
     default dir on plain import, env-var override, and no clobbering of a
     pre-configured cache dir."""
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    # an ambient override would defeat the default-dir case
+    env.pop("MULTIVAE_COMPILATION_CACHE_DIR", None)
     cases = [
         # (extra env, code, expected stdout predicate)
         ({}, "import multivae_tpu.workflows, jax;"
