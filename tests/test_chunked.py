@@ -279,6 +279,48 @@ class TestChunkPlan:
         cfg = self._cfg(end_epoch=2)
         assert chunk_plan(cfg, 0) == (1, 2)
 
+    def test_schedule_invariants_exhaustive(self):
+        """Replaying chunk_plan from any start must (a) cover every epoch
+        exactly once, (b) place every checkpoint boundary ((e+1)%5==0 and
+        the final epoch) on a segment end, and (c) never run an epoch past
+        an NLL/PRD host event inside a chunk — for every combination of
+        end_epoch, cap, eval cadence, and resume start."""
+        from multivae_tpu.train.chunked import chunk_plan
+
+        for end in (1, 2, 5, 7, 12, 23, 50, 53):
+            for cap in (1, 3, 5, 10, 50):
+                for nll, freq in ((False, 25), (True, 3), (True, 7)):
+                    for start in (0, 3, 5):
+                        if start >= end:
+                            continue
+                        cfg = self._cfg(end_epoch=end, epoch_chunk=cap,
+                                        calc_nll=nll, eval_freq=freq)
+                        cfg.start_epoch = start
+                        seg_ends, epoch = [], start
+                        while epoch < end:
+                            n_seg, seg_len = chunk_plan(cfg, epoch)
+                            k = n_seg * seg_len
+                            assert 1 <= k <= max(cap, 1), (end, cap, epoch)
+                            assert epoch + k <= end, (end, cap, epoch)
+                            for si in range(n_seg):
+                                e_seg = epoch + (si + 1) * seg_len - 1
+                                seg_ends.append(e_seg)
+                                if nll and si < n_seg - 1:
+                                    # host events only at chunk ends
+                                    assert (e_seg + 1) % freq != 0
+                            if nll:
+                                # no epoch inside the chunk may cross an
+                                # NLL event (the host must run it)
+                                for e in range(epoch, epoch + k - 1):
+                                    assert (e + 1) % freq != 0, \
+                                        (end, cap, freq, epoch, e)
+                            epoch += k
+                        # checkpoint boundaries all fall on segment ends
+                        for e in range(start, end):
+                            if (e + 1) % 5 == 0 or (e + 1) == end:
+                                assert e in seg_ends, (end, cap, nll, freq,
+                                                       start, e)
+
 
 class TestChunkedMembers:
     @pytest.mark.slow
