@@ -136,6 +136,31 @@ class TestResident:
 
 
 class TestChunkedOnMesh:
+    def test_dp_chunked_trains(self, tmp_path):
+        """Fast smoke for the dp+chunked production path: one 4-epoch
+        chunked run on a 2-device data mesh trains (decreasing loss) and
+        writes its final checkpoint. The full per-epoch equivalence runs
+        in the slow suite."""
+        import pandas as pd
+
+        datasetdir = str(tmp_path / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=64, n_scores=4,
+                              n_rois=16, missing_rate=0.0, seed=5)
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        run = train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[4, 16], latent_dim=4, style_dim=[2, 3],
+            num_epochs=4, batch_size=32, method="joint_elbo",
+            learning_rate=0.01, use_tensorboard=False,
+            data_parallel=2, epoch_chunk=50)
+        d = pd.read_csv(os.path.join(outdir, run, "logs", "metrics.csv"))
+        loss = d[(d.phase == "train") & (d.metric == "loss")]["value"]
+        assert loss.iloc[-1] < loss.iloc[0]
+        assert os.path.exists(os.path.join(
+            outdir, run, "checkpoints", "0003", "model"))
+
+    @pytest.mark.slow
     def test_dp_chunked_matches_dp_per_epoch(self, tmp_path):
         """Data-parallel training now runs through the chunked driver too:
         the dp Pallas kernel (shard_map + grad psum) is the chunk's fused
