@@ -224,13 +224,19 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
         return (len(next(iter(data.values()))) == cfg.batch_size
                 and all(name in data for name in mod_names))
 
-    prefix = []
-    for batches in streams:
-        k = 0
-        while k < len(batches) and is_scannable(batches[k]):
-            k += 1
-        prefix.append(k)
-    n_common = min(prefix)
+    # the common segment takes each member's first n_common scannable
+    # batches IN STREAM ORDER (not necessarily a leading run — the sampler
+    # permutes complete partial-subset batches among them). The effective
+    # update sequence is unchanged by the split point: scannables run in
+    # stream order either here or at the head of the canonical remainder
+    # ((all-mods, B) sorts first), with the same per-stream-index rng subs.
+    # Counting ALL scannables makes n_common a per-cohort constant
+    # (floor(|all-mods subset|/B)), which keeps the chunked ensemble
+    # driver's program structure identical across epochs.
+    scan_idx = [[i for i, b in enumerate(batches) if is_scannable(b)]
+                for batches in streams]
+    n_common = min(len(s) for s in scan_idx)
+    common_idx = [s[:n_common] for s in scan_idx]
 
     # per-member rng subs drawn in the same order as the sequential path
     subs = []
@@ -248,10 +254,11 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
         stacked_params = stack_trees(exp.params)
         stacked_opt = stack_trees(exp.opt_states)
         grid = {name: jax.numpy.asarray(np.stack(
-            [np.stack([streams[m][i][name] for i in range(n_common)])
+            [np.stack([streams[m][i][name] for i in common_idx[m]])
              for m in range(n_models)])) for name in mod_names}
         rng_grid = jax.numpy.stack(
-            [jax.numpy.stack(subs[m][:n_common]) for m in range(n_models)])
+            [jax.numpy.stack([subs[m][i] for i in common_idx[m]])
+             for m in range(n_models)])
         stacked_params, stacked_opt, losses, metrics = ens_scan_fn(
             stacked_params, stacked_opt, grid, rng_grid)
         exp.params = unstack_tree(stacked_params, n_models)
@@ -261,9 +268,10 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
         for m in range(n_models):
             if loggers[m] is None:
                 continue
-            for i in range(0, n_common, log_every):
-                loggers[m].write_training_logs(
-                    {k: v[m, i] for k, v in metrics.items()})
+            for pos, i in enumerate(common_idx[m]):
+                if i % log_every == 0:  # cadence keys off the stream index
+                    loggers[m].write_training_logs(
+                        {k: v[m, pos] for k, v in metrics.items()})
 
     # remainder: missing-modality groups / partial batches, per member —
     # processed in the same canonical group order as the sequential driver
@@ -271,8 +279,11 @@ def train_one_epoch_ensemble(exp, ens_scan_fn, step_fn, loggers, rngs,
     for m in range(n_models):
         params = exp.params[m]
         opt_state = exp.opt_states[m]
+        in_common = set(common_idx[m])
         rgroups: Dict = {}
-        for i in range(n_common, len(streams[m])):
+        for i in range(len(streams[m])):
+            if i in in_common:
+                continue
             data = streams[m][i]
             key = (tuple(sorted(data)), len(next(iter(data.values()))))
             rgroups.setdefault(key, []).append(i)
@@ -564,6 +575,120 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
         print()
 
 
+def _run_ensemble_chunked(exp, ens_scan_fn, loggers, log_every: int = 1,
+                          progress: bool = True, mesh=None):
+    """All members, K epochs per dispatch
+    (:mod:`multivae_tpu.train.chunked_ensemble`).
+
+    Numerically identical to the per-epoch ensemble runner — same batch
+    partition, same per-stream-index rng subs, same canonical group order
+    — with the same segment-snapshot checkpointing as the single-member
+    chunked driver (every member's boundary params/opt emitted by the
+    chunk scan, fetched after the next chunk's dispatch)."""
+    from .chunked import chunk_plan, make_resident, plan_eval_epoch
+    from .chunked_ensemble import EnsembleChunkRunner, plan_ensemble_epoch
+    from .train_step import stack_trees, unstack_tree
+
+    cfg = exp.cfg
+    mod_names = [m.name for m in exp.model.modalities]
+    res_train = [make_resident(exp.dataset_train[m], mod_names)
+                 for m in range(cfg.num_models)]
+    res_eval = [make_resident(exp.dataset_test[m], mod_names)
+                for m in range(cfg.num_models)]
+    rngs = jax.numpy.stack([jax.random.PRNGKey(cfg.seed + 1000 * m)
+                            for m in range(cfg.num_models)])
+    params = stack_trees(exp.params)
+    opt_state = stack_trees(exp.opt_states)
+    runners: Dict = {}
+    t0 = time.time()
+    epoch = cfg.start_epoch
+    pending = None
+
+    def drain(p):
+        snap_p, snap_o, entries = p
+        host_p = jax.device_get(snap_p)  # [n_seg, M, ...]
+        host_o = None if snap_o is None else jax.device_get(snap_o)
+        last_si = entries[-1][0]
+        for si, e_seg in entries:
+            for m in range(cfg.num_models):
+                ckpt_dir = model_checkpoint_dir(cfg, m, e_seg)
+                row_p = jax.tree_util.tree_map(lambda t: t[si][m], host_p)
+                if host_o is None:
+                    row_o = None
+                elif cfg.save_optimizer == "latest":
+                    row_o = (jax.tree_util.tree_map(
+                        lambda t: t[0][m], host_o)
+                        if si == last_si else None)
+                else:
+                    row_o = jax.tree_util.tree_map(lambda t: t[si][m],
+                                                   host_o)
+                save_checkpoint(ckpt_dir, row_p, row_o, cfg.model_save)
+                if si == last_si:
+                    save_networks(os.path.dirname(ckpt_dir), row_p)
+
+    while epoch < cfg.end_epoch:
+        n_seg, seg_len = chunk_plan(cfg, epoch)
+        k = n_seg * seg_len
+        plans, eplans, ncs = [], [], []
+        for e in range(epoch, epoch + k):
+            nc, mplans = plan_ensemble_epoch(cfg, exp.dataset_train,
+                                             mod_names, e)
+            plans.append(mplans)
+            ncs.append(nc)
+            eplans.append([plan_eval_epoch(cfg, exp.dataset_test[m],
+                                           mod_names, e)
+                           for m in range(cfg.num_models)])
+        n_common = ncs[0]
+        struct = (n_common,
+                  tuple(p.structure() for p in plans[0]),
+                  tuple(p.structure() for p in eplans[0]))
+        same = 1
+        while same < k and (
+                ncs[same],
+                tuple(p.structure() for p in plans[same]),
+                tuple(p.structure() for p in eplans[same])) == struct:
+            same += 1
+        if same < k:  # keep whole segments; else a single short segment
+            n_seg, seg_len = ((same // seg_len, seg_len)
+                              if same >= seg_len else (1, same))
+            k = n_seg * seg_len
+            plans, eplans = plans[:k], eplans[:k]
+        runner = runners.get(struct)
+        if runner is None:
+            runner = EnsembleChunkRunner(
+                cfg, exp.model, struct[1], struct[2], n_common, ens_scan_fn,
+                res_train, res_eval, params, opt_state, mesh=mesh)
+            runners[struct] = runner
+        xs = runner.stack_xs(plans, eplans, n_seg, seg_len)
+        params, opt_state, rngs, flat, snap_p, snap_o = runner(
+            params, opt_state, rngs, xs)
+        if pending is not None:
+            drain(pending)
+            pending = None
+        entries = []
+        for si in range(n_seg):
+            e_seg = epoch + (si + 1) * seg_len - 1
+            if (e_seg + 1) % 5 == 0 or (e_seg + 1) == cfg.end_epoch:
+                entries.append((si, e_seg))
+        if entries:
+            pending = (snap_p, snap_o, entries)
+        epoch += k
+        flat = np.asarray(flat)
+        runner.write_logs(loggers, flat, plans, log_every)
+        if progress:
+            frac = (epoch - cfg.start_epoch) / max(
+                cfg.end_epoch - cfg.start_epoch, 1)
+            print(f"\r  ensemble: epoch {epoch}/{cfg.end_epoch} "
+                  f"({100 * frac:.1f}%) [{time.time() - t0:.1f}s]",
+                  end="", flush=True)
+    if pending is not None:
+        drain(pending)
+    exp.params = unstack_tree(params, cfg.num_models)
+    exp.opt_states = unstack_tree(opt_state, cfg.num_models)
+    if progress:
+        print()
+
+
 def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                progress: bool = True, profile_dir: str | None = None):
     """Train every ensemble member (``run_epochs.py:222-256``).
@@ -721,6 +846,7 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
     sequential path."""
     cfg = exp.cfg
     mesh = ensemble_mesh(cfg)
+    chunk_mesh = mesh
     ens_scan_fn = None
     if cfg.fused_training and mesh is not None:
         from ..ops import fused_methods as _fm
@@ -739,6 +865,9 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
             mdevs = np.asarray(mesh.devices)[:, 0]
             mmesh = jax.sharding.Mesh(mdevs, ("model",))
             ens_scan_fn = make_fused_ensemble_epoch(cfg, exp.model, mmesh)
+            # the chunked driver must place its whole program on the same
+            # devices the kernel pins (it device_puts onto mmesh inside)
+            chunk_mesh = mmesh
     if ens_scan_fn is None:
         ens_scan_fn = make_ensemble_scan_train_step(cfg, exp.model,
                                                     mesh=mesh)
@@ -756,6 +885,15 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
                  if mesh is not None else "single device, vmapped members")
     print(f"training epochs progress (ensemble of {cfg.num_models}, "
           f"{mesh_desc}):")
+    # K-epochs-per-dispatch driver (profiling uses the per-epoch loop so
+    # the first-epoch trace stays a single clean dispatch window)
+    if cfg.epoch_chunk > 1 and profile_dir is None:
+        _run_ensemble_chunked(exp, ens_scan_fn, loggers,
+                              log_every=log_every, progress=progress,
+                              mesh=chunk_mesh)
+        for logger in loggers:
+            logger.close()
+        return
     t0 = time.time()
     for epoch in range(cfg.start_epoch, cfg.end_epoch):
         if profile_dir is not None and epoch == cfg.start_epoch:

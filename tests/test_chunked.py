@@ -205,6 +205,110 @@ class TestChunkedOnMesh:
                                    rtol=1e-3, atol=1e-3)
 
 
+class TestChunkedEnsemble:
+    @pytest.fixture(scope="class")
+    def runs(self, tmp_path_factory):
+        """A 2-member ensemble (forced ensemble_parallel over the device
+        mesh) trained per-epoch vs chunked, on a cohort whose partial
+        subset yields COMPLETE partial batches — exercising the
+        stationary common-segment split (the first n_common scannable
+        batches in stream order are not a leading run)."""
+        root = tmp_path_factory.mktemp("chunked_ens")
+        datasetdir = str(root / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=120, n_scores=4,
+                              n_rois=12, missing_rate=0.4, seed=2)
+        outs, names = [], []
+        for chunk in (1, 50):
+            outdir = str(root / f"out{chunk}")
+            os.makedirs(outdir)
+            run = train_exp(
+                dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+                input_dims=[4, 12], latent_dim=4, style_dim=[2, 3],
+                num_models=2, num_epochs=7, batch_size=16,
+                method="joint_elbo", learning_rate=0.01,
+                use_tensorboard=False, ensemble_parallel=True,
+                fused_training=False, epoch_chunk=chunk)
+            outs.append(outdir)
+            names.append(run)
+        return outs, names
+
+    @pytest.mark.slow
+    def test_final_params_match_per_member(self, runs):
+        from multivae_tpu.train.experiment import MultimodalExperiment
+
+        (out1, out2), (r1, r2) = runs
+        exps = []
+        for out, r in zip((out1, out2), (r1, r2)):
+            exp, _ = MultimodalExperiment.get_experiment(
+                os.path.join(out, r, "flags.json"),
+                os.path.join(out, r, "checkpoints"))
+            exps.append(exp)
+        for m in range(2):
+            for a, b in zip(
+                    jax.tree_util.tree_leaves(exps[0].params[m]),
+                    jax.tree_util.tree_leaves(exps[1].params[m])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_log_sequence_matches_per_member(self, runs):
+        (out1, out2), (r1, r2) = runs
+        for m in range(2):
+            d1 = pd.read_csv(os.path.join(out1, r1, "logs", f"model_{m}",
+                                          "metrics.csv"))
+            d2 = pd.read_csv(os.path.join(out2, r2, "logs", f"model_{m}",
+                                          "metrics.csv"))
+            assert len(d1) == len(d2)
+            assert (d1[["step", "phase", "metric"]].values
+                    == d2[["step", "phase", "metric"]].values).all()
+            np.testing.assert_allclose(d1["value"].values,
+                                       d2["value"].values,
+                                       rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.slow
+    def test_checkpoint_cadence_per_member(self, runs):
+        (out1, out2), (r1, r2) = runs
+        for out, r in zip((out1, out2), (r1, r2)):
+            for m in range(2):
+                d = os.path.join(out, r, "checkpoints", f"model_{m}")
+                ckpts = sorted(x for x in os.listdir(d)
+                               if os.path.isdir(os.path.join(d, x)))
+                assert ckpts == ["0004", "0006"], (out, m)
+
+    @pytest.mark.slow
+    def test_fused_ensemble_kernel_chunked_matches_per_epoch(self,
+                                                             tmp_path):
+        """With fused_training on, the ensemble chunk's common segment is
+        the per-member Pallas epoch kernel over the model axis; chunked
+        vs per-epoch must still agree per member."""
+        from multivae_tpu.train.experiment import MultimodalExperiment
+
+        datasetdir = str(tmp_path / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=96, n_scores=4,
+                              n_rois=12, missing_rate=0.0, seed=4)
+        exps = []
+        for chunk in (1, 50):
+            outdir = str(tmp_path / f"out{chunk}")
+            os.makedirs(outdir)
+            run = train_exp(
+                dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+                input_dims=[4, 12], latent_dim=4, style_dim=[2, 3],
+                num_models=2, num_epochs=6, batch_size=16,
+                method="joint_elbo", learning_rate=0.01,
+                use_tensorboard=False, ensemble_parallel=True,
+                fused_training=True, epoch_chunk=chunk)
+            exp, _ = MultimodalExperiment.get_experiment(
+                os.path.join(outdir, run, "flags.json"),
+                os.path.join(outdir, run, "checkpoints"))
+            exps.append(exp)
+        for m in range(2):
+            for a, b in zip(
+                    jax.tree_util.tree_leaves(exps[0].params[m]),
+                    jax.tree_util.tree_leaves(exps[1].params[m])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-5)
+
+
 class TestSaveOptimizerPolicy:
     def _train(self, root, policy):
         datasetdir = str(root / "data")
