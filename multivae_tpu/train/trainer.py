@@ -675,6 +675,24 @@ def _run_ensemble_chunked(exp, ens_scan_fn, loggers, log_every: int = 1,
         epoch += k
         flat = np.asarray(flat)
         runner.write_logs(loggers, flat, plans, log_every)
+        e = epoch - 1
+        if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
+                and (cfg.calc_nll or cfg.calc_prd):
+            # chunk_plan breaks chunks at the eval cadence, so this runs
+            # at exactly the epochs test_one_epoch would (same row order:
+            # test logs, then likelihoods)
+            exp.params = unstack_tree(params, cfg.num_models)
+            for m in range(cfg.num_models):
+                if cfg.calc_nll:
+                    from ..eval.likelihood import estimate_likelihoods
+                    lhoods = estimate_likelihoods(exp, m)
+                    if loggers[m] is not None:
+                        loggers[m].write_lhood_logs(lhoods)
+                if cfg.calc_prd and ((e + 1) % cfg.eval_freq_fid == 0):
+                    from ..eval.sample_quality import calc_prd_score
+                    prd = calc_prd_score(exp, m)
+                    if loggers[m] is not None:
+                        loggers[m].write_prd_scores(prd)
         if progress:
             frac = (epoch - cfg.start_epoch) / max(
                 cfg.end_epoch - cfg.start_epoch, 1)

@@ -276,6 +276,39 @@ class TestChunkedEnsemble:
                 assert ckpts == ["0004", "0006"], (out, m)
 
     @pytest.mark.slow
+    def test_nll_cadence_matches_per_epoch(self, tmp_path):
+        """calc_nll on the chunked ensemble driver emits the same
+        likelihood log rows at the same cadence as the per-epoch ensemble
+        loop (which runs them inside test_one_epoch)."""
+        datasetdir = str(tmp_path / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=64, n_scores=3,
+                              n_rois=8, missing_rate=0.0, seed=6)
+        frames = []
+        for chunk in (1, 50):
+            outdir = str(tmp_path / f"out{chunk}")
+            os.makedirs(outdir)
+            run = train_exp(
+                dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+                input_dims=[3, 8], latent_dim=4, style_dim=[2, 2],
+                num_models=2, num_epochs=6, batch_size=16,
+                method="joint_elbo", learning_rate=0.01,
+                use_tensorboard=False, ensemble_parallel=True,
+                fused_training=False, epoch_chunk=chunk,
+                calc_nll=True, eval_freq=3)
+            frames.append([pd.read_csv(os.path.join(
+                outdir, run, "logs", f"model_{m}", "metrics.csv"))
+                for m in range(2)])
+        for m in range(2):
+            l1 = frames[0][m][frames[0][m].phase == "Likelihoods"]
+            l2 = frames[1][m][frames[1][m].phase == "Likelihoods"]
+            assert len(l1) > 0
+            assert (l1[["step", "metric"]].values
+                    == l2[["step", "metric"]].values).all()
+            np.testing.assert_allclose(l1["value"].values,
+                                       l2["value"].values,
+                                       rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.slow
     def test_fused_ensemble_kernel_chunked_matches_per_epoch(self,
                                                              tmp_path):
         """With fused_training on, the ensemble chunk's common segment is
