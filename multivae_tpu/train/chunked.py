@@ -191,6 +191,20 @@ def _split_chain(rng, n: int):
     return rng, (jnp.stack(keys) if keys else None)
 
 
+def trim_opt_snapshots(cfg, snap_o):
+    """Apply ``cfg.save_optimizer`` to the per-segment opt snapshots ON
+    DEVICE (inside the chunk jit), so rows the host will not write to disk
+    never cross the relay: "all" keeps every boundary, "latest" keeps only
+    the newest (valid because whenever a chunk has checkpoint entries the
+    last segment's end IS the last boundary), "none" drops them. The ONE
+    policy point shared by the member and ensemble chunk programs."""
+    if cfg.save_optimizer == "latest":
+        return jax.tree_util.tree_map(lambda t: t[-1:], snap_o)
+    if cfg.save_optimizer == "none":
+        return None
+    return snap_o
+
+
 def _metric_keys(fn, *args) -> List[str]:
     """Metric-dict keys of a step fn via abstract evaluation (no compute).
 
@@ -340,15 +354,10 @@ class ChunkRunner:
             (params, opt_state, rng), (flat, snap_p, snap_o) = jax.lax.scan(
                 seg_body, (params, opt_state, rng), xs)
             flat = flat.reshape(-1, flat.shape[-1])  # [n_seg*seg_len, L]
-            # the save_optimizer policy trims the opt snapshots ON DEVICE,
-            # so the host only ever transfers what it will write to disk
-            # (the opt tree is ~2x the params; at reference scale this is
-            # the dominant checkpoint transfer over the relay)
-            if cfg.save_optimizer == "latest":
-                snap_o = jax.tree_util.tree_map(lambda t: t[-1:], snap_o)
-            elif cfg.save_optimizer == "none":
-                snap_o = None
-            return params, opt_state, rng, flat, snap_p, snap_o
+            # the opt tree is ~2x the params; at reference scale it is the
+            # dominant checkpoint transfer over the relay
+            return (params, opt_state, rng, flat, snap_p,
+                    trim_opt_snapshots(cfg, snap_o))
 
         donate = (0, 1) if cfg.donate_buffers else ()
         self._compiled = jax.jit(run_chunk, donate_argnums=donate)

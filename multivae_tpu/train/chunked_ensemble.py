@@ -15,10 +15,14 @@ stacked), fetched after the NEXT chunk's dispatch.
 Numerics replicate ``train_one_epoch_ensemble`` / ``test_one_epoch``
 exactly: per member, one rng split per stream batch drawn up front in
 stream order (NOT the member-chunked driver's fused-block draw — the two
-drivers have separately-pinned rng schemes), the common segment is the
-leading scannable run truncated to the ensemble-wide minimum, remainder
-groups run in canonical order keyed by their stream indices, and the eval
-pass threads each member's rng after its training stream.
+drivers have separately-pinned rng schemes), the common segment is each
+member's first ``n_common`` scannable batches IN STREAM ORDER (not a
+leading run — the sampler permutes complete partial-subset batches among
+them; ``n_common`` is the per-cohort constant ``min_m floor(|all-modality
+subset_m| / B)``, which keeps the program structure identical across
+epochs), remainder groups run in canonical order keyed by their stream
+indices, and the eval pass threads each member's rng after its training
+stream.
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ from .chunked import (
     _group,
     _metric_keys,
     _split_chain,
+    trim_opt_snapshots,
 )
 
 
@@ -268,11 +273,8 @@ class EnsembleChunkRunner:
             (params, opt_state, rngs), (flat, snap_p, snap_o) = jax.lax.scan(
                 seg_body, (params, opt_state, rngs), xs)
             flat = flat.reshape(-1, flat.shape[-1])
-            if cfg.save_optimizer == "latest":
-                snap_o = jax.tree_util.tree_map(lambda t: t[-1:], snap_o)
-            elif cfg.save_optimizer == "none":
-                snap_o = None
-            return params, opt_state, rngs, flat, snap_p, snap_o
+            return (params, opt_state, rngs, flat, snap_p,
+                    trim_opt_snapshots(cfg, snap_o))
 
         donate = (0, 1) if cfg.donate_buffers else ()
         self._compiled = jax.jit(run_chunk, donate_argnums=donate)

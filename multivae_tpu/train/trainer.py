@@ -587,7 +587,6 @@ def _run_ensemble_chunked(exp, ens_scan_fn, loggers, log_every: int = 1,
     chunk scan, fetched after the next chunk's dispatch)."""
     from .chunked import chunk_plan, make_resident, plan_eval_epoch
     from .chunked_ensemble import EnsembleChunkRunner, plan_ensemble_epoch
-    from .train_step import stack_trees, unstack_tree
 
     cfg = exp.cfg
     mod_names = [m.name for m in exp.model.modalities]
@@ -889,16 +888,11 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
     if ens_scan_fn is None:
         ens_scan_fn = make_ensemble_scan_train_step(cfg, exp.model,
                                                     mesh=mesh)
-    step_fn = make_train_step(cfg, exp.model, donate=cfg.donate_buffers)
-    eval_fn = make_eval_step(cfg, exp.model)
-    scan_eval_fn = make_scan_eval_step(cfg, exp.model)
     loggers = [MetricLogger(model_log_dir(cfg, m),
                             use_tensorboard=use_tensorboard)
                for m in range(cfg.num_models)]
     for logger in loggers:
         logger.add_text("FLAGS", cfg.describe())
-    rngs = [jax.random.PRNGKey(cfg.seed + 1000 * m)
-            for m in range(cfg.num_models)]
     mesh_desc = (f"mesh model={mesh.shape['model']} data={mesh.shape['data']}"
                  if mesh is not None else "single device, vmapped members")
     print(f"training epochs progress (ensemble of {cfg.num_models}, "
@@ -912,6 +906,12 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
         for logger in loggers:
             logger.close()
         return
+    # per-epoch-only machinery (unused on the chunked default path)
+    step_fn = make_train_step(cfg, exp.model, donate=cfg.donate_buffers)
+    eval_fn = make_eval_step(cfg, exp.model)
+    scan_eval_fn = make_scan_eval_step(cfg, exp.model)
+    rngs = [jax.random.PRNGKey(cfg.seed + 1000 * m)
+            for m in range(cfg.num_models)]
     t0 = time.time()
     for epoch in range(cfg.start_epoch, cfg.end_epoch):
         if profile_dir is not None and epoch == cfg.start_epoch:

@@ -206,6 +206,31 @@ class TestChunkedOnMesh:
 
 
 class TestChunkedEnsemble:
+    def test_ensemble_chunked_trains(self, tmp_path):
+        """Fast smoke for the production-default ensemble path (chunked,
+        EnsembleChunkRunner): both members train with decreasing loss and
+        final per-member checkpoints. The equivalence matrix vs the
+        per-epoch ensemble loop runs in the slow suite."""
+        datasetdir = str(tmp_path / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=48, n_scores=3,
+                              n_rois=8, missing_rate=0.2, seed=7)
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        run = train_exp(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            input_dims=[3, 8], latent_dim=4, style_dim=[2, 2],
+            num_models=2, num_epochs=3, batch_size=16,
+            method="joint_elbo", learning_rate=0.01,
+            use_tensorboard=False, ensemble_parallel=True,
+            fused_training=False, epoch_chunk=50)
+        for m in range(2):
+            d = pd.read_csv(os.path.join(outdir, run, "logs", f"model_{m}",
+                                         "metrics.csv"))
+            loss = d[(d.phase == "train") & (d.metric == "loss")]["value"]
+            assert loss.iloc[-1] < loss.iloc[0]
+            assert os.path.exists(os.path.join(
+                outdir, run, "checkpoints", f"model_{m}", "0002", "model"))
+
     @pytest.fixture(scope="class")
     def runs(self, tmp_path_factory):
         """A 2-member ensemble (forced ensemble_parallel over the device
