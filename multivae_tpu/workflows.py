@@ -558,8 +558,17 @@ def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
     filename = os.path.join(outdir, run,
                             f"avatar_traverse_{clinical_names[score_idx]}.gif")
     anim.save(filename, writer=animation.PillowWriter(fps=4))
+    # a real video file too: the reference renders mp4 via ffmpeg
+    # (workflow.py:1242-1373); without an ffmpeg binary the closest true
+    # video container is a hand-muxed Motion-JPEG AVI (viz/video.py)
+    from .viz.video import figure_to_rgb, write_mjpeg_avi
+    rgb_frames = []
+    for i in range(n_frames):
+        update(i)
+        rgb_frames.append(figure_to_rgb(fig))
+    video = write_mjpeg_avi(filename[:-4] + ".avi", rgb_frames, fps=4)
     plt.close(fig)
-    print_result(f"avatar animation: {filename}")
+    print_result(f"avatar animation: {filename} + {video}")
     return filename
 
 

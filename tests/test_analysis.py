@@ -161,6 +161,8 @@ class TestPlotsAndPosthoc:
         gif = wf.avatar_plot_exp("synthetic", datasetdir, outdir, run,
                                  score="score_0", n_frames=4, n_subjects=3)
         assert os.path.isfile(gif)
+        # the MJPEG-AVI sibling (the ffmpeg-free true-video artifact)
+        assert os.path.isfile(gif[:-4] + ".avi")
 
 
 class TestCli:

@@ -112,3 +112,71 @@ class TestParcats:
         fig = vp.plot_parcats(flows, ["a", "b"], ["x", "y"],
                               save_path=str(tmp_path / "p.png"))
         assert fig is not None
+
+
+class TestMjpegAvi:
+    """The hand-muxed Motion-JPEG AVI (viz/video.py) — the ffmpeg-free
+    equivalent of the reference's mp4 animation (workflow.py:1242-1373)."""
+
+    def _parse_riff(self, data):
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        import struct
+        total = struct.unpack("<I", data[4:8])[0]
+        assert total == len(data) - 8
+        chunks, off = {}, 12
+        while off < len(data):
+            fourcc = data[off:off + 4]
+            size = struct.unpack("<I", data[off + 4:off + 8])[0]
+            body = data[off + 8:off + 8 + size]
+            key = (fourcc if fourcc != b"LIST" else body[:4]).decode()
+            chunks.setdefault(key, []).append(body)
+            off += 8 + size + (size % 2)
+        return chunks
+
+    def test_container_structure_and_payloads(self, tmp_path):
+        import io
+        import struct
+
+        from PIL import Image
+
+        from multivae_tpu.viz.video import write_mjpeg_avi
+
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+                  for _ in range(5)]
+        path = write_mjpeg_avi(str(tmp_path / "clip.avi"), frames, fps=4)
+        data = open(path, "rb").read()
+        chunks = self._parse_riff(data)
+        assert set(chunks) >= {"hdrl", "movi", "idx1"}
+        hdrl = chunks["hdrl"][0]
+        assert hdrl[4:8] == b"avih"
+        n, _, streams, _, w, h = struct.unpack("<6I", hdrl[12 + 16:12 + 40])
+        assert (n, streams, w, h) == (5, 1, 48, 32)
+        assert b"MJPG" in hdrl
+        movi = chunks["movi"][0]
+        # every frame chunk is a decodable JPEG of the right size
+        off, decoded = 4, 0
+        while off < len(movi):
+            assert movi[off:off + 4] == b"00dc"
+            size = struct.unpack("<I", movi[off + 4:off + 8])[0]
+            jpeg = movi[off + 8:off + 8 + size]
+            img = Image.open(io.BytesIO(jpeg))
+            assert img.size == (48, 32)
+            decoded += 1
+            off += 8 + size + (size % 2)
+        assert decoded == 5
+        # idx1 entries point at the actual chunk positions
+        idx = chunks["idx1"][0]
+        assert len(idx) == 5 * 16
+        first_off = struct.unpack("<I", idx[8:12])[0]
+        assert movi[first_off:first_off + 4] == b"00dc"
+
+    def test_rejects_mismatched_frames(self, tmp_path):
+        from multivae_tpu.viz.video import write_mjpeg_avi
+
+        good = np.zeros((8, 8, 3), np.uint8)
+        bad = np.zeros((8, 9, 3), np.uint8)
+        with pytest.raises(ValueError, match="every frame"):
+            write_mjpeg_avi(str(tmp_path / "x.avi"), [good, bad])
+        with pytest.raises(ValueError, match="at least one"):
+            write_mjpeg_avi(str(tmp_path / "y.avi"), [])
