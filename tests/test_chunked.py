@@ -404,6 +404,24 @@ class TestSaveOptimizerPolicy:
             if os.path.isdir(os.path.join(ckpts, d)):
                 assert os.path.exists(os.path.join(ckpts, d, "model"))
 
+    def test_latest_resume_restores_opt_from_newest(self, tmp_path):
+        """Under ``latest`` the newest checkpoint dir always carries
+        opt_state, so resume-from-latest restores the exact Adam state
+        (count == trained steps, nonzero moments)."""
+        from multivae_tpu.train.experiment import MultimodalExperiment
+        from multivae_tpu.train.trainer import resume_from_checkpoints
+
+        ckpts = self._train(tmp_path, "latest")
+        run_dir = os.path.dirname(ckpts)
+        exp, cfg = MultimodalExperiment.get_experiment(
+            os.path.join(run_dir, "flags.json"), ckpts)
+        exp.set_optimizers()
+        start = resume_from_checkpoints(exp)
+        assert start == 12
+        opt = exp.opt_states[0]
+        assert int(opt.count) > 0
+        assert float(np.abs(np.asarray(opt.mu)).max()) > 0
+
     def test_rejects_unknown_policy(self):
         with pytest.raises(ValueError, match="save_optimizer"):
             Config(dataset="synthetic", input_dim=[3, 8], class_dim=4,
