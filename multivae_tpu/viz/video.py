@@ -38,13 +38,17 @@ def write_mjpeg_avi(path: str, frames: Sequence[np.ndarray], fps: int = 4,
 
     All frames must share one shape. Returns ``path``.
     """
-    if not frames:
+    if len(frames) == 0:
         raise ValueError("write_mjpeg_avi needs at least one frame")
-    h, w = frames[0].shape[:2]
+    first = np.asarray(frames[0])
+    if first.ndim != 3:
+        raise ValueError(f"every frame must be a [H, W, 3] array; got "
+                         f"shape {first.shape}")
+    h, w = first.shape[:2]
     payloads = []
     for f in frames:
         f = np.asarray(f)
-        if f.shape[:2] != (h, w) or f.shape[2] != 3 or f.dtype != np.uint8:
+        if f.ndim != 3 or f.shape != (h, w, 3) or f.dtype != np.uint8:
             raise ValueError(
                 f"every frame must be uint8 [{h}, {w}, 3]; got "
                 f"{f.dtype} {f.shape}")
@@ -87,14 +91,16 @@ def write_mjpeg_avi(path: str, frames: Sequence[np.ndarray], fps: int = 4,
 
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_data, index = b"", b""
+    movi_parts, index_parts, off = [], [], 4
     for p in payloads:
         # index offsets count from the 'movi' fourcc position
-        index += struct.pack("<4s3I", b"00dc", AVIIF_KEYFRAME,
-                             4 + len(movi_data), len(p))
-        movi_data += chunk(b"00dc", p)
-    movi = lst(b"movi", movi_data)
-    idx1 = chunk(b"idx1", index)
+        index_parts.append(struct.pack("<4s3I", b"00dc", AVIIF_KEYFRAME,
+                                       off, len(p)))
+        part = chunk(b"00dc", p)
+        movi_parts.append(part)
+        off += len(part)
+    movi = lst(b"movi", b"".join(movi_parts))
+    idx1 = chunk(b"idx1", b"".join(index_parts))
     riff = chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
     with open(path, "wb") as fh:
         fh.write(riff)

@@ -510,7 +510,6 @@ def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
     unavailable without nilearn; frames show the ROI vector heatmap)."""
     import matplotlib
     matplotlib.use("Agg")
-    import matplotlib.animation as animation
     import matplotlib.pyplot as plt
 
     import jax
@@ -554,18 +553,23 @@ def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
         title.set_text(f"{clinical_names[score_idx]} = {traverse[i]:.2f}")
         return [im, title]
 
-    anim = animation.FuncAnimation(fig, update, frames=n_frames, blit=False)
-    filename = os.path.join(outdir, run,
-                            f"avatar_traverse_{clinical_names[score_idx]}.gif")
-    anim.save(filename, writer=animation.PillowWriter(fps=4))
-    # a real video file too: the reference renders mp4 via ffmpeg
-    # (workflow.py:1242-1373); without an ffmpeg binary the closest true
-    # video container is a hand-muxed Motion-JPEG AVI (viz/video.py)
+    # render each frame ONCE and write both artifacts from the same rgb
+    # arrays: the GIF (Pillow) and a real video file — the reference
+    # renders mp4 via ffmpeg (workflow.py:1242-1373); without an ffmpeg
+    # binary the closest true video container is a hand-muxed Motion-JPEG
+    # AVI (viz/video.py)
+    from PIL import Image
+
     from .viz.video import figure_to_rgb, write_mjpeg_avi
     rgb_frames = []
     for i in range(n_frames):
         update(i)
         rgb_frames.append(figure_to_rgb(fig))
+    filename = os.path.join(outdir, run,
+                            f"avatar_traverse_{clinical_names[score_idx]}.gif")
+    pil = [Image.fromarray(f) for f in rgb_frames]
+    pil[0].save(filename, save_all=True, append_images=pil[1:],
+                duration=250, loop=0)  # 4 fps
     video = write_mjpeg_avi(filename[:-4] + ".avi", rgb_frames, fps=4)
     plt.close(fig)
     print_result(f"avatar animation: {filename} + {video}")

@@ -37,12 +37,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def ensure_cohort(workdir: str) -> str:
     datadir = os.path.join(workdir, "data")
-    if not os.path.isdir(datadir):
+    marker = os.path.join(datadir, ".complete")
+    if not os.path.isfile(marker):  # a bare dir may be an aborted build
+        shutil.rmtree(datadir, ignore_errors=True)
         from multivae_tpu.data import make_synthetic_cohort
 
         make_synthetic_cohort(datadir, n_subjects=2000, n_scores=7,
                               n_rois=444, missing_rate=0.15, seed=0,
                               signal_strength=2.0)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
     return datadir
 
 
@@ -98,9 +102,18 @@ def main() -> None:
                 print(json.dumps(res), flush=True)
         elif stage == "daa":
             if last_train is None:
-                print(json.dumps({"error": "daa needs a train stage "
-                                           "first"}))
-                sys.exit(1)
+                # reuse the newest trained run already in the workdir, so
+                # DAA can be re-timed alone (e.g. in a better relay window)
+                import glob
+
+                runs = sorted(glob.glob(os.path.join(
+                    args.workdir, "out_*", "synthetic_*")))
+                if not runs:
+                    print(json.dumps({"error": "daa needs a trained run: "
+                                               "use --stages train first"}))
+                    sys.exit(1)
+                last_train = {"outdir": os.path.dirname(runs[-1]),
+                              "run": os.path.basename(runs[-1])}
             print(json.dumps(bench_daa(args.workdir, datadir,
                                        last_train["outdir"],
                                        last_train["run"])), flush=True)
