@@ -334,6 +334,45 @@ class TestChunkedEnsemble:
                                        rtol=1e-3, atol=1e-3)
 
     @pytest.mark.slow
+    def test_no_common_segment_matches_per_epoch(self, tmp_path):
+        """With heavy missingness and a large batch the all-modality
+        subset yields ZERO scannable batches (n_common == 0): the whole
+        epoch runs through the remainder groups; chunked vs per-epoch
+        must still agree."""
+        from multivae_tpu.train.experiment import MultimodalExperiment
+
+        datasetdir = str(tmp_path / "data")
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=3,
+                              n_rois=8, missing_rate=0.6, seed=8)
+        exps = []
+        for chunk in (1, 50):
+            outdir = str(tmp_path / f"out{chunk}")
+            os.makedirs(outdir)
+            run = train_exp(
+                dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+                input_dims=[3, 8], latent_dim=4, style_dim=[2, 2],
+                num_models=2, num_epochs=6, batch_size=48,
+                method="joint_elbo", learning_rate=0.01,
+                use_tensorboard=False, ensemble_parallel=True,
+                fused_training=False, epoch_chunk=chunk)
+            exp, _ = MultimodalExperiment.get_experiment(
+                os.path.join(outdir, run, "flags.json"),
+                os.path.join(outdir, run, "checkpoints"))
+            exps.append(exp)
+        from multivae_tpu.train.chunked_ensemble import plan_ensemble_epoch
+        mod_names = [m.name for m in exps[0].model.modalities]
+        n_common, _ = plan_ensemble_epoch(exps[0].cfg,
+                                          exps[0].dataset_train,
+                                          mod_names, 0)
+        assert n_common == 0  # the scenario under test
+        for m in range(2):
+            for a, b in zip(
+                    jax.tree_util.tree_leaves(exps[0].params[m]),
+                    jax.tree_util.tree_leaves(exps[1].params[m])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.slow
     def test_fused_ensemble_kernel_chunked_matches_per_epoch(self,
                                                              tmp_path):
         """With fused_training on, the ensemble chunk's common segment is
