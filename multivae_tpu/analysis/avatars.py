@@ -232,7 +232,8 @@ def assess_robustness(dataset, datasetdir, outdir, run, n_validation=5,
 
 
 def univariate_tests(dataset, datasetdir, continuous_covs=(),
-                     categorical_covs=(), seed=1037, outdir=None):
+                     categorical_covs=(), seed=1037, outdir=None,
+                     surface_atlas=None):
     """Mass-univariate OLS baseline ``roi ~ score (+ covariates)`` with
     Bonferroni correction (``analyze_avatars.py:217-315``).
 
@@ -319,7 +320,8 @@ def univariate_tests(dataset, datasetdir, continuous_covs=(),
         values = associations[score_idx, sig_rois]
         print_text(f"{score}: {len(areas)} significant rois")
         plot_areas(areas, np.arange(len(areas)) + 0.01,
-                   save_path=os.path.join(figdir, f"areas_{score}.png"))
+                   save_path=os.path.join(figdir, f"areas_{score}.png"),
+                   atlas=surface_atlas)
         plot_coefs(areas, values,
                    save_path=os.path.join(figdir, f"coefs_{score}.png"))
     print_result(f"univariate outputs: {figdir}")

@@ -6,9 +6,12 @@ Reference: ``experiments/plotting.py`` (``plot_cmat`` ``:30-46``, ``plot_bar``
 polar plots inside ``workflow.py:905-1238``.
 
 nilearn (fsaverage surface rendering) and plotly are not available in this
-image; surface plots degrade gracefully to annotated 2-D summaries of the same
-values (bar/heatmap), keeping every workflow runnable end to end. When nilearn
-is importable the fsaverage path is used.
+image. Surface plots resolve in this order: (1) a self-contained surface
+atlas (``viz/surface.py`` — pass ``atlas=`` or set ``MULTIVAE_SURFACE_ATLAS``
+to an atlas ``.npz``; ``export_fsaverage_atlas`` converts the real fsaverage
+once on a connected machine) renders true 3-D views with pure matplotlib;
+(2) nilearn when importable; (3) an annotated 2-D summary of the same values
+(bar/heatmap), keeping every workflow runnable end to end.
 """
 
 from __future__ import annotations
@@ -86,10 +89,20 @@ def _area_fallback(areas, values, save_path, title="ROI areas"):
 
 def plot_areas(areas: Sequence[str], colors, save_path: Optional[str] = None,
                color_name: str = "Plotly", inflated: bool = True,
-               filename: Optional[str] = None):
-    """ROI-areas surface plot (``plotting.py:206-261``); falls back to a
-    labeled bar chart without nilearn."""
+               filename: Optional[str] = None, atlas=None):
+    """ROI-areas surface plot (``plotting.py:206-261``).
+
+    Renders on a surface atlas when one resolves (``atlas=`` argument or
+    the ``MULTIVAE_SURFACE_ATLAS`` env var, see ``viz/surface.py``), else
+    through nilearn, else falls back to a labeled bar chart."""
     save_path = save_path or filename
+    from .surface import plot_areas_on_atlas, resolve_atlas
+    atl = resolve_atlas(atlas)
+    if atl is not None:
+        fig = plot_areas_on_atlas(atl, areas, colors, save_path=save_path)
+        if save_path:
+            print_result(f"areas surface plot: {save_path}")
+        return fig
     if not HAS_NILEARN:
         return _area_fallback(areas, colors, save_path)
     destrieux = nl_datasets.fetch_atlas_surf_destrieux()
@@ -144,7 +157,9 @@ def plot_coefs(bar_names, coefs, save_path: Optional[str] = None,
 def plot_surf_mosaic(data, titles, filename, label: bool = True,
                      fsaverage=None, color_name: str = "Plotly"):
     """Mosaic of per-score ROI textures (``plotting.py:155-196``); heatmap
-    fallback without nilearn."""
+    fallback without nilearn. (With an atlas file, use
+    ``viz.surface.plot_mosaic_on_atlas`` — it takes per-ROI value dicts
+    instead of nilearn per-vertex textures.)"""
     n_plots = len(data)
     if not HAS_NILEARN:
         fig, axes = plt.subplots(n_plots, 1, squeeze=False,

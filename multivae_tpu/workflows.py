@@ -324,9 +324,11 @@ def _collect_significant(pvalues, clinical_names, rois_names, n_models,
 def daa_plot_most_connected(dataset, datasetdir, outdir, run,
                             trust_level=0.7, n_rois=5,
                             plot_associations=False, vote_prop=1,
-                            rescaled=True):
+                            rescaled=True, surface_atlas=None):
     """Radar plots of the most-connected ROI coefficients + area plot
-    (``workflow.py:905-1121``; matplotlib radar instead of plotly)."""
+    (``workflow.py:905-1121``; matplotlib radar instead of plotly).
+    ``surface_atlas`` (or ``MULTIVAE_SURFACE_ATLAS``) points at a
+    ``viz/surface.py`` atlas ``.npz`` for true 3-D area rendering."""
     import collections
     import glob as _glob
     import matplotlib
@@ -394,7 +396,7 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
                                   if r not in all_selected_rois]
         filename = os.path.join(dirname, "most_connected_rois.png")
         plot_areas(all_selected_rois, np.arange(len(all_selected_rois)),
-                   save_path=filename)
+                   save_path=filename, atlas=surface_atlas)
 
         if plot_associations:
             # score -> roi flow: a true parallel-categories (sankey-style)
@@ -428,9 +430,11 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
 
 def daa_plot_score_metric(dataset, datasetdir, outdir, run, score, metric,
                           trust_level=0.7, plot_rois=True,
-                          plot_weights=True, vote_prop=1, rescaled=True):
+                          plot_weights=True, vote_prop=1, rescaled=True,
+                          surface_atlas=None):
     """Surface + barh plots of significant ROIs for one (score, metric)
-    (``workflow.py:1123-1238``)."""
+    (``workflow.py:1123-1238``). ``surface_atlas`` (or the
+    ``MULTIVAE_SURFACE_ATLAS`` env var) enables true 3-D rendering."""
     import glob as _glob
     import matplotlib
     matplotlib.use("Agg")
@@ -498,16 +502,19 @@ def daa_plot_score_metric(dataset, datasetdir, outdir, run, score, metric,
             dirname, f"association_for_{score}_in_{metric}.png")
         if plot_rois:
             plot_areas(areas, np.arange(len(areas)) + 0.01,
-                       save_path=filename_areas)
+                       save_path=filename_areas, atlas=surface_atlas)
         plot_coefs(areas, values, save_path=filename_bar)
 
 
 def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
-                    n_frames=20, n_subjects=4, seed=1037):
+                    n_frames=20, n_subjects=4, seed=1037,
+                    surface_atlas=None, metric=None):
     """Avatar traverse animation (``workflow.py:1242-1373``; commented out of
     the reference CLI). Decodes a linear traverse of one score and writes an
-    animated GIF of the ROI pattern per frame (fsaverage rendering is
-    unavailable without nilearn; frames show the ROI vector heatmap)."""
+    animated GIF + MJPEG-AVI video. With a surface atlas (``surface_atlas``
+    or ``MULTIVAE_SURFACE_ATLAS``, see ``viz/surface.py``) frames are true
+    3-D surface renders of one ROI ``metric`` (default: the cohort's first);
+    otherwise frames show the ROI vector heatmap."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -542,17 +549,6 @@ def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
     # [B, n_scores, n_frames, R] -> frames for the traversed score
     frames = avatars[:, score_idx].mean(axis=0)  # [n_frames, R]
 
-    fig, ax = plt.subplots(figsize=(10, 3))
-    im = ax.imshow(frames[0][None, :], aspect="auto", cmap="jet",
-                   vmin=frames.min(), vmax=frames.max())
-    ax.set_yticks([])
-    title = ax.set_title("")
-
-    def update(i):
-        im.set_data(frames[i][None, :])
-        title.set_text(f"{clinical_names[score_idx]} = {traverse[i]:.2f}")
-        return [im, title]
-
     # render each frame ONCE and write both artifacts from the same rgb
     # arrays: the GIF (Pillow) and a real video file — the reference
     # renders mp4 via ffmpeg (workflow.py:1242-1373); without an ffmpeg
@@ -560,18 +556,56 @@ def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
     # AVI (viz/video.py)
     from PIL import Image
 
+    from .viz.surface import plot_roi_values, resolve_atlas
     from .viz.video import figure_to_rgb, write_mjpeg_avi
+
+    atl = resolve_atlas(surface_atlas)
     rgb_frames = []
-    for i in range(n_frames):
-        update(i)
-        rgb_frames.append(figure_to_rgb(fig))
+    if atl is not None:
+        # surface animation of one metric's per-ROI values, the
+        # atlas-file equivalent of the reference's fsaverage traverse
+        rois_names = np.load(os.path.join(datasetdir, "rois_names.npy"),
+                             allow_pickle=True).tolist()
+        metrics = [str(n).split("_")[-1] for n in rois_names]
+        metric = metric or metrics[0]
+        sel = [i for i, m in enumerate(metrics) if m == metric]
+        if not sel:
+            raise ValueError(f"metric {metric!r} not found in rois_names "
+                             f"(have {sorted(set(metrics))})")
+        bases = ["_".join(str(rois_names[i]).split("_")[:-1]) for i in sel]
+        vmin = float(frames[:, sel].min())
+        vmax = float(frames[:, sel].max())
+        for i in range(n_frames):
+            values = {b: float(frames[i, j]) for b, j in zip(bases, sel)}
+            fig = plot_roi_values(
+                atl, values, vmin=vmin, vmax=vmax,
+                title=f"{metric}: {clinical_names[score_idx]} = "
+                      f"{traverse[i]:.2f}")
+            rgb_frames.append(figure_to_rgb(fig))
+            plt.close(fig)
+    else:
+        fig, ax = plt.subplots(figsize=(10, 3))
+        im = ax.imshow(frames[0][None, :], aspect="auto", cmap="jet",
+                       vmin=frames.min(), vmax=frames.max())
+        ax.set_yticks([])
+        title = ax.set_title("")
+
+        def update(i):
+            im.set_data(frames[i][None, :])
+            title.set_text(
+                f"{clinical_names[score_idx]} = {traverse[i]:.2f}")
+            return [im, title]
+
+        for i in range(n_frames):
+            update(i)
+            rgb_frames.append(figure_to_rgb(fig))
     filename = os.path.join(outdir, run,
                             f"avatar_traverse_{clinical_names[score_idx]}.gif")
     pil = [Image.fromarray(f) for f in rgb_frames]
     pil[0].save(filename, save_all=True, append_images=pil[1:],
                 duration=250, loop=0)  # 4 fps
     video = write_mjpeg_avi(filename[:-4] + ".avi", rgb_frames, fps=4)
-    plt.close(fig)
+    plt.close("all")
     print_result(f"avatar animation: {filename} + {video}")
     return filename
 

@@ -164,6 +164,37 @@ class TestPlotsAndPosthoc:
         # the MJPEG-AVI sibling (the ffmpeg-free true-video artifact)
         assert os.path.isfile(gif[:-4] + ".avi")
 
+    def _cohort_atlas(self, datasetdir, tmp_path):
+        from multivae_tpu.viz.surface import SurfaceAtlas
+
+        rois_names = np.load(os.path.join(datasetdir, "rois_names.npy"),
+                             allow_pickle=True).tolist()
+        bases = sorted({"_".join(str(n).split("_")[:-1])
+                        for n in rois_names})
+        path = str(tmp_path / "atlas.npz")
+        SurfaceAtlas.synthetic(roi_names=bases, subdiv=2, seed=1).save(path)
+        return path
+
+    def test_avatar_plot_on_surface_atlas(self, pipeline, tmp_path):
+        """The animation renders true 3-D surface frames when an atlas
+        whose ROI names match the cohort's base names is supplied."""
+        datasetdir, outdir, run, _, _ = pipeline
+        atlas = self._cohort_atlas(datasetdir, tmp_path)
+        gif = wf.avatar_plot_exp("synthetic", datasetdir, outdir, run,
+                                 score="score_1", n_frames=3, n_subjects=3,
+                                 surface_atlas=atlas, metric="area")
+        assert os.path.isfile(gif) and os.path.isfile(gif[:-4] + ".avi")
+
+    def test_daa_plots_on_surface_atlas(self, pipeline, tmp_path):
+        datasetdir, outdir, run, resdir, _ = pipeline
+        atlas = self._cohort_atlas(datasetdir, tmp_path)
+        wf.daa_plot_most_connected("synthetic", datasetdir, outdir, run,
+                                   trust_level=0.3, surface_atlas=atlas)
+        sig = pd.read_table(os.path.join(resdir, "significant_rois.tsv"))
+        if len(sig):
+            assert os.path.isfile(
+                os.path.join(resdir, "most_connected_rois.png"))
+
 
 class TestCli:
     def test_cli_commands_registered(self):
