@@ -311,12 +311,15 @@ def univariate_tests(dataset, datasetdir, continuous_covs=(),
     np.save(os.path.join(figdir, "univariate_associations.npy"),
             associations)
     from ..viz.plotting import plot_areas, plot_coefs
+    from ..data.cohorts import split_roi_metric
+    from ..viz.surface import resolve_atlas
+
+    surface_atlas = resolve_atlas(surface_atlas)  # once, not per score
     for score_idx, score in enumerate(clinical_names):
         if idx_sign[score_idx].sum() == 0:
             continue
         sig_rois = np.where(idx_sign[score_idx])[0]
-        areas = ["_".join(str(rois_names[i]).split("_")[:-1])
-                 for i in sig_rois]
+        areas = [split_roi_metric(rois_names[i])[0] for i in sig_rois]
         values = associations[score_idx, sig_rois]
         print_text(f"{score}: {len(areas)} significant rois")
         plot_areas(areas, np.arange(len(areas)) + 0.01,

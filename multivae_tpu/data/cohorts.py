@@ -8,6 +8,14 @@ naming so synthetic datasets plot cleanly.
 indices = {"clinical": 0, "rois": 1}
 modalities = ["clinical", "rois"]
 
+
+def split_roi_metric(name):
+    """Split a ROI feature name ``<base>_<metric>`` (e.g.
+    ``G_precentral_lh_thickness`` → ``("G_precentral_lh", "thickness")``).
+    The single convention shared by the DAA/plot/univariate workflows."""
+    base, metric = str(name).rsplit("_", 1)
+    return base, metric
+
 short_clinical_names = {
     "euaims": {
         "t1_rbs_total": "RBS",

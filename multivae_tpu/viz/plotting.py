@@ -25,7 +25,7 @@ import matplotlib.colors as mcolors  # noqa: E402
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
-from ..utils.colors import get_color_list, print_result  # noqa: E402
+from ..utils.colors import get_color_list, print_error, print_result  # noqa: E402
 
 try:  # optional surface rendering
     from nilearn import datasets as nl_datasets
@@ -99,10 +99,18 @@ def plot_areas(areas: Sequence[str], colors, save_path: Optional[str] = None,
     from .surface import plot_areas_on_atlas, resolve_atlas
     atl = resolve_atlas(atlas)
     if atl is not None:
-        fig = plot_areas_on_atlas(atl, areas, colors, save_path=save_path)
-        if save_path:
-            print_result(f"areas surface plot: {save_path}")
-        return fig
+        try:
+            fig = plot_areas_on_atlas(atl, areas, colors,
+                                      save_path=save_path)
+        except ValueError as exc:
+            # a globally-set MULTIVAE_SURFACE_ATLAS may not match this
+            # cohort's ROI names; degrade instead of aborting the workflow
+            print_error(f"surface atlas does not cover these areas "
+                        f"({exc}); using the fallback rendering")
+        else:
+            if save_path:
+                print_result(f"areas surface plot: {save_path}")
+            return fig
     if not HAS_NILEARN:
         return _area_fallback(areas, colors, save_path)
     destrieux = nl_datasets.fetch_atlas_surf_destrieux()

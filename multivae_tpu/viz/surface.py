@@ -129,6 +129,12 @@ class SurfaceAtlas:
                     f"vertex count {n_v}")
             if self.faces[hemi].size and self.faces[hemi].max() >= n_v:
                 raise ValueError(f"{hemi} faces index out of range")
+            if (self.labels[hemi].size
+                    and self.labels[hemi].max() >= len(self.roi_names)):
+                raise ValueError(
+                    f"{hemi} labels reference ROI "
+                    f"{int(self.labels[hemi].max())} but the atlas has "
+                    f"only {len(self.roi_names)} roi_names")
 
     def roi_index(self, name: str) -> int:
         try:
@@ -153,7 +159,10 @@ class SurfaceAtlas:
         return out
 
     def save(self, path: str) -> str:
-        payload = {"roi_names": np.asarray(self.roi_names, dtype=object)}
+        # native <U string dtype: the npz stays loadable with numpy's
+        # default allow_pickle=False (safe to share between machines)
+        payload = {"roi_names": np.asarray([str(n) for n in
+                                            self.roi_names])}
         for hemi in HEMIS:
             payload[f"{hemi}_vertices"] = self.vertices[hemi].astype(
                 np.float32)
@@ -165,15 +174,15 @@ class SurfaceAtlas:
         return path
 
     @classmethod
-    def load(cls, path: str) -> "SurfaceAtlas":
-        with np.load(path, allow_pickle=True) as data:
+    def load(cls, path: Union[str, os.PathLike]) -> "SurfaceAtlas":
+        with np.load(os.fspath(path)) as data:
             bg = {h: data[f"{h}_bg"] for h in HEMIS
                   if f"{h}_bg" in data.files} or None
             return cls(
                 vertices={h: data[f"{h}_vertices"] for h in HEMIS},
                 faces={h: data[f"{h}_faces"] for h in HEMIS},
                 labels={h: data[f"{h}_labels"] for h in HEMIS},
-                roi_names=list(data["roi_names"]),
+                roi_names=[str(n) for n in data["roi_names"]],
                 bg=bg)
 
     @classmethod
@@ -213,13 +222,13 @@ class SurfaceAtlas:
                    roi_names=roi_names)
 
 
-def resolve_atlas(atlas: Union[None, str, SurfaceAtlas] = None
+def resolve_atlas(atlas: Union[None, str, os.PathLike, SurfaceAtlas] = None
                   ) -> Optional[SurfaceAtlas]:
-    """Resolve an atlas argument: instance → itself; str → ``load``;
+    """Resolve an atlas argument: instance → itself; str/path → ``load``;
     None → the ``MULTIVAE_SURFACE_ATLAS`` env var (when set), else None."""
     if isinstance(atlas, SurfaceAtlas):
         return atlas
-    if isinstance(atlas, str) and atlas:
+    if isinstance(atlas, (str, os.PathLike)) and os.fspath(atlas):
         return SurfaceAtlas.load(atlas)
     env = os.environ.get(ATLAS_ENV_VAR, "")
     if env:
@@ -263,14 +272,23 @@ def _render_hemi(ax, verts: np.ndarray, tri: np.ndarray,
 
 
 def _face_colors(atlas: SurfaceAtlas, vertex_vals: np.ndarray, hemi: str,
-                 cmap, vmin: float, vmax: float) -> np.ndarray:
+                 cmap, vmin: float, vmax: float,
+                 categorical: bool = False) -> np.ndarray:
     tri = atlas.faces[hemi]
     vals = vertex_vals[tri]  # [F, 3]
     have = np.isfinite(vals)
     counts = have.sum(axis=1)
-    sums = np.where(have, vals, 0.0).sum(axis=1)
-    face_val = np.divide(sums, counts, out=np.zeros(len(tri)),
-                         where=counts > 0)
+    if categorical:
+        # codes must not be averaged: a face straddling two areas would
+        # take a THIRD area's palette color. Use the face's first finite
+        # vertex code instead (boundary faces side with one neighbor).
+        first = np.argmax(have, axis=1)
+        face_val = vals[np.arange(len(tri)), first]
+        face_val = np.where(counts > 0, face_val, 0.0)
+    else:
+        sums = np.where(have, vals, 0.0).sum(axis=1)
+        face_val = np.divide(sums, counts, out=np.zeros(len(tri)),
+                             where=counts > 0)
     span = (vmax - vmin) or 1.0
     rgba = np.asarray(cmap(np.clip((face_val - vmin) / span, 0.0, 1.0)))
     background = counts == 0
@@ -288,12 +306,16 @@ def plot_roi_values(atlas: SurfaceAtlas, values: Mapping[str, float],
                     save_path: Optional[str] = None, cmap="jet",
                     vmin: Optional[float] = None,
                     vmax: Optional[float] = None,
-                    title: Optional[str] = None, fig=None, row=None):
+                    title: Optional[str] = None, fig=None, row=None,
+                    categorical: bool = False):
     """2×2 hemisphere×(lateral, medial) surface mosaic of per-ROI values.
 
     The atlas-file equivalent of the reference's nilearn ``plot_surf_roi``
     mosaics (``plotting.py:206-261``). ``values`` maps ROI names (atlas
     ``roi_names`` entries) to scalars; unmapped ROIs render as background.
+    ``categorical=True`` treats values as palette codes (no averaging
+    across face vertices). To place the 4 views as one row of a larger
+    figure, pass ``fig`` together with ``row=(n_rows, row_idx)``.
     """
     import matplotlib
     import matplotlib.pyplot as plt
@@ -312,13 +334,17 @@ def plot_roi_values(atlas: SurfaceAtlas, values: Mapping[str, float],
                                  figsize=(8, 6))
         axes = axes.ravel()
     else:
+        if row is None:
+            raise ValueError("plot_roi_values needs row=(n_rows, row_idx) "
+                             "whenever an existing fig is passed")
         n_rows, row_idx = row  # panels land on row row_idx of n_rows
         axes = [fig.add_subplot(n_rows, 4, (row_idx - 1) * 4 + i + 1,
                                 projection="3d") for i in range(4)]
     panels = [("left", "lateral"), ("left", "medial"),
               ("right", "lateral"), ("right", "medial")]
     for ax, (hemi, view) in zip(axes, panels):
-        rgba = _face_colors(atlas, vertex_vals[hemi], hemi, cmap, vmin, vmax)
+        rgba = _face_colors(atlas, vertex_vals[hemi], hemi, cmap, vmin,
+                            vmax, categorical=categorical)
         _render_hemi(ax, atlas.vertices[hemi], atlas.faces[hemi], rgba,
                      hemi, view)
     if title:
@@ -344,7 +370,8 @@ def plot_areas_on_atlas(atlas: SurfaceAtlas, areas: Sequence[str], colors,
     cmap = mcolors.ListedColormap(palette)
     values = {str(name): float(colors[i]) for i, name in enumerate(areas)}
     return plot_roi_values(atlas, values, save_path=save_path, cmap=cmap,
-                           vmin=0.0, vmax=float(len(palette)))
+                           vmin=0.0, vmax=float(len(palette)),
+                           categorical=True)
 
 
 def plot_mosaic_on_atlas(atlas: SurfaceAtlas,
@@ -353,8 +380,6 @@ def plot_mosaic_on_atlas(atlas: SurfaceAtlas,
                          cmap="jet"):
     """One surface row (4 views) per entry of ``rows`` — the atlas-file
     equivalent of ``plot_surf_mosaic`` (``plotting.py:155-196``)."""
-    import matplotlib
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     n = len(rows)

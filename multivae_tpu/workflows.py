@@ -10,6 +10,7 @@ import os
 import numpy as np
 import pandas as pd
 
+from .data.cohorts import split_roi_metric
 from .train.config import Config
 from .train.experiment import MultimodalExperiment
 from .train.trainer import run_epochs
@@ -314,7 +315,7 @@ def _collect_significant(pvalues, clinical_names, rois_names, n_models,
     data = {"metric": [], "roi": [], "score": []}
     for idx, score in enumerate(clinical_names):
         for name in np.asarray(rois_names)[np.where(idx_sign[idx])]:
-            name, metric = str(name).rsplit("_", 1)
+            name, metric = split_roi_metric(name)
             data["score"].append(score)
             data["metric"].append(metric)
             data["roi"].append(name)
@@ -337,6 +338,11 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
 
     from .data.cohorts import get_short_clinical_names
     from .viz.plotting import plot_areas, plot_radar
+    from .viz.surface import resolve_atlas
+
+    # resolve once: plot_areas runs inside the per-simdir loop and should
+    # not re-read the npz each iteration (instances pass straight through)
+    surface_atlas = resolve_atlas(surface_atlas)
 
     print_title(f"PLOT DAA most associated rois: {dataset}")
     expdir = os.path.join(outdir, run)
@@ -441,6 +447,9 @@ def daa_plot_score_metric(dataset, datasetdir, outdir, run, score, metric,
     import matplotlib.pyplot as plt
 
     from .viz.plotting import plot_areas, plot_coefs
+    from .viz.surface import resolve_atlas
+
+    surface_atlas = resolve_atlas(surface_atlas)  # once, not per simdir
 
     print_title(f"PLOT DAA results: {dataset}")
     expdir = os.path.join(outdir, run)
@@ -566,13 +575,14 @@ def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
         # atlas-file equivalent of the reference's fsaverage traverse
         rois_names = np.load(os.path.join(datasetdir, "rois_names.npy"),
                              allow_pickle=True).tolist()
-        metrics = [str(n).split("_")[-1] for n in rois_names]
-        metric = metric or metrics[0]
-        sel = [i for i, m in enumerate(metrics) if m == metric]
+        split = [split_roi_metric(n) for n in rois_names]
+        metric = metric or split[0][1]
+        sel = [i for i, (_, m) in enumerate(split) if m == metric]
         if not sel:
-            raise ValueError(f"metric {metric!r} not found in rois_names "
-                             f"(have {sorted(set(metrics))})")
-        bases = ["_".join(str(rois_names[i]).split("_")[:-1]) for i in sel]
+            raise ValueError(
+                f"metric {metric!r} not found in rois_names "
+                f"(have {sorted({m for _, m in split})})")
+        bases = [split[i][0] for i in sel]
         vmin = float(frames[:, sel].min())
         vmax = float(frames[:, sel].max())
         for i in range(n_frames):
@@ -599,13 +609,13 @@ def avatar_plot_exp(dataset, datasetdir, outdir, run, score=None,
         for i in range(n_frames):
             update(i)
             rgb_frames.append(figure_to_rgb(fig))
+        plt.close(fig)
     filename = os.path.join(outdir, run,
                             f"avatar_traverse_{clinical_names[score_idx]}.gif")
     pil = [Image.fromarray(f) for f in rgb_frames]
     pil[0].save(filename, save_all=True, append_images=pil[1:],
                 duration=250, loop=0)  # 4 fps
     video = write_mjpeg_avi(filename[:-4] + ".avi", rgb_frames, fps=4)
-    plt.close("all")
     print_result(f"avatar animation: {filename} + {video}")
     return filename
 

@@ -81,10 +81,28 @@ class TestResolve:
         path = str(tmp_path / "a.npz")
         atlas.save(path)
         assert resolve_atlas(path).roi_names == atlas.roi_names
+        # pathlib.Path works too (os.PathLike)
+        assert resolve_atlas(tmp_path / "a.npz").roi_names == atlas.roi_names
         monkeypatch.setenv(ATLAS_ENV_VAR, path)
         assert resolve_atlas(None).roi_names == atlas.roi_names
         monkeypatch.delenv(ATLAS_ENV_VAR)
         assert resolve_atlas(None) is None
+
+    def test_npz_loads_without_pickle(self, atlas, tmp_path):
+        """The atlas file must stay loadable with numpy's safe default
+        (allow_pickle=False) so shared files are not a pickle vector."""
+        path = str(tmp_path / "a.npz")
+        atlas.save(path)
+        with np.load(path) as data:  # default allow_pickle=False
+            names = [str(n) for n in data["roi_names"]]
+        assert names == atlas.roi_names
+
+    def test_out_of_range_labels_rejected(self, atlas):
+        labels = {h: atlas.labels[h].copy() for h in ("left", "right")}
+        labels["left"][0] = len(atlas.roi_names)  # out of range
+        with pytest.raises(ValueError, match="labels reference ROI"):
+            SurfaceAtlas(vertices=atlas.vertices, faces=atlas.faces,
+                         labels=labels, roi_names=atlas.roi_names)
 
 
 class TestRendering:
@@ -125,6 +143,34 @@ class TestRendering:
         with pytest.raises(ValueError, match="not in surface atlas"):
             plot_roi_values(atlas, {"nonexistent": 1.0})
 
+    def test_fig_without_row_raises(self, atlas):
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        with pytest.raises(ValueError, match="row="):
+            plot_roi_values(atlas, {atlas.roi_names[0]: 1.0}, fig=fig)
+        plt.close(fig)
+
+    def test_categorical_faces_never_blend_between_areas(self, atlas):
+        """A face straddling two areas must take ONE of their palette
+        colors, never a third (averaged) code's color."""
+        import matplotlib.colors as mcolors
+
+        from multivae_tpu.utils.colors import get_color_list
+
+        areas = [atlas.roi_names[0], atlas.roi_names[1],
+                 atlas.roi_names[2], atlas.roi_names[3]]
+        palette = get_color_list(len(areas))
+        cmap = mcolors.ListedColormap(palette)
+        vv = atlas.vertex_values(
+            {n: float(i) + 0.01 for i, n in enumerate(areas)})
+        rgba = _face_colors(atlas, vv["left"], "left", cmap, 0.0,
+                            float(len(palette)), categorical=True)
+        allowed = {tuple(np.round(mcolors.to_rgba(c), 6)) for c in palette}
+        allowed.add((0.82, 0.82, 0.82, 1.0))  # background gray
+        got = {tuple(np.round(c, 6)) for c in rgba}
+        assert got <= allowed
+
     def test_all_nan_values_raise(self, atlas):
         with pytest.raises(ValueError, match="finite"):
             plot_roi_values(atlas, {atlas.roi_names[0]: float("nan")})
@@ -155,6 +201,23 @@ class TestPlotAreasDispatch:
                             save_path=out)
         assert os.path.isfile(out)
         assert all(ax.name == "3d" for ax in fig.axes)
+        matplotlib.pyplot.close(fig)
+
+    def test_mismatched_atlas_falls_back_instead_of_crashing(
+            self, atlas, tmp_path, monkeypatch):
+        """A globally-set atlas that doesn't cover this cohort's ROI names
+        must degrade to the fallback rendering, not abort the workflow."""
+        from multivae_tpu.viz import plotting as vp
+
+        path = str(tmp_path / "a.npz")
+        atlas.save(path)
+        monkeypatch.setenv(ATLAS_ENV_VAR, path)
+        monkeypatch.setattr(vp, "HAS_NILEARN", False)
+        out = str(tmp_path / "mismatch.png")
+        fig = vp.plot_areas(["not_an_atlas_roi"], np.array([0.01]),
+                            save_path=out)
+        assert os.path.isfile(out)
+        assert all(ax.name != "3d" for ax in fig.axes)
         matplotlib.pyplot.close(fig)
 
     def test_without_atlas_falls_back(self, tmp_path, monkeypatch):
