@@ -38,6 +38,7 @@ def run_rsa(experiment, cfg, datasetdir: str, rsadir: str,
     latent_dis, scores_dis = [], []
     np_rng = np.random.default_rng(seed)
     base_key = jax.random.PRNGKey(seed)
+    _jit_apply = None  # shared: experiment.model is one module, params vary
 
     for model_idx in range(n_models):
         testset = experiment.dataset_test
@@ -54,9 +55,11 @@ def run_rsa(experiment, cfg, datasetdir: str, rsadir: str,
                                 replace=False)
             data, metadata = full_batch(testset, sel)
             key = jax.random.fold_in(base_key, 7000 * model_idx + val_idx)
-            out = model.apply({"params": params}, data,
-                              sample_latents=sample_latents,
-                              rngs={"sample": key})
+            if _jit_apply is None:  # one dispatch per round, not per op
+                _jit_apply = jax.jit(lambda p, d, r: model.apply(
+                    {"params": p}, d, sample_latents=sample_latents,
+                    rngs={"sample": r}))
+            out = _jit_apply(params, data, key)
             latents_all = out["latents"]
             for latent_idx, latent_name in enumerate(LATENT_NAMES):
                 if latent_name == "joint":

@@ -21,8 +21,9 @@ def _subset_latents(exp, dataset, params, rng):
     complete = dataset.idx_per_modality_subset[-1]
     data, labels, _ = dataset.gather(complete)
     batch = {k: jnp.asarray(v) for k, v in data.items()}
-    latents = exp.model.apply({"params": params}, batch, method="inference",
-                              rngs={"sample": rng})
+    latents = jax.jit(lambda p, b, r: exp.model.apply(
+        {"params": p}, b, method="inference",
+        rngs={"sample": r}))(params, batch, rng)
     feats = {s: np.asarray(mu) for s, (mu, _) in latents["subsets"].items()}
     return feats, np.asarray(labels)
 

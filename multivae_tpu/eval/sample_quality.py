@@ -72,11 +72,17 @@ def generate_conditional_samples(exp, model_idx: int = 0,
     data, _, _ = dataset.gather(complete)
     batch = {k: jnp.asarray(v) for k, v in data.items()}
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed + 7)
-    latents = exp.model.apply({"params": params}, batch, method="inference",
-                              rngs={"sample": rng})
-    cond = exp.model.apply({"params": params}, latents["subsets"],
-                           method="cond_generation",
-                           rngs={"sample": jax.random.fold_in(rng, 1)})
+
+    # one jitted dispatch (eager op-by-op execution costs a relay
+    # round-trip per op on remote TPUs)
+    def _run(p, b, r):
+        latents = exp.model.apply({"params": p}, b, method="inference",
+                                  rngs={"sample": r})
+        return exp.model.apply({"params": p}, latents["subsets"],
+                               method="cond_generation",
+                               rngs={"sample": jax.random.fold_in(r, 1)})
+
+    cond = jax.jit(_run)(params, batch, rng)
     real = {k: np.asarray(v) for k, v in data.items()}
     gen = {s: {m: np.asarray(v) for m, v in d.items()}
            for s, d in cond.items()}

@@ -48,21 +48,26 @@ def calc_log_probs(model, batch, rec) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarr
     return log_probs, weighted
 
 
-def calc_klds(results) -> Dict[str, jnp.ndarray]:
+def calc_klds(results, model=None) -> Dict[str, jnp.ndarray]:
     """Subset-posterior KLs to the unit prior (``run_epochs.py:41-48``).
 
     Computed from the stacked ``[S, B, D]`` subset posteriors in one
-    reduction rather than one kernel per subset."""
-    keys = list(results["latents"]["subsets"])
+    reduction rather than one kernel per subset. ``subset_stack`` rows are
+    in the MODEL's powerset enumeration order; the ``subsets`` dict only
+    carries that order inside an unbroken trace (a jit boundary
+    canonicalizes pytree dict keys to sorted order), so the stack path
+    needs ``model`` to recover the row->key pairing."""
+    subsets = results["latents"]["subsets"]
     stack = results["latents"].get("subset_stack")
-    if stack is not None:
+    if stack is not None and model is not None:
+        keys = [k for k in model.subsets if k in subsets]
         mus, logvars = stack
         b = mus.shape[1]
         rows = jnp.sum(
             ops.kl_divergence_per_sample(mus, logvars), axis=1) / b  # [S]
         return {key: rows[i] for i, key in enumerate(keys)}
     klds = {}
-    for key, (mu, logvar) in results["latents"]["subsets"].items():
+    for key, (mu, logvar) in subsets.items():
         klds[key] = ops.kl_divergence(mu, logvar, norm_value=mu.shape[0])
     return klds
 
@@ -102,7 +107,7 @@ def total_loss(cfg, model, variables, batch, results, rng, *,
     log_probs, weighted_log_prob = calc_log_probs(model, batch,
                                                   results["rec"])
     group_divergence = results["joint_divergence"]
-    klds = calc_klds(results)
+    klds = calc_klds(results, model)
     klds_style = {}
     if cfg.factorized_representation:
         klds_style = calc_klds_style(results)

@@ -85,14 +85,16 @@ class TestSplitForwardParity:
     ])
     def test_loss_metrics_match_general_path(self, method):
         cfg, model, batch, params, _, noise = make_setup(method)
-        loss_ref, metrics_ref = general_loss(cfg, model, params, batch,
-                                             noise)
+        # jit both sides: eager op-by-op dispatch is ~4x slower on this
+        # 1-core host and jitted is what production runs anyway
+        loss_ref, metrics_ref = jax.jit(
+            lambda p: general_loss(cfg, model, p, batch, noise))(params)
         dims = dims_from(cfg, B)
         consts = FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
         sp = split_params(flatten_params(params, model), dims)
-        loss_sp, mlist = fm.method_loss_split(
-            method, dims, consts, True, False, sp, batch["clinical"],
-            batch["rois"], noise)
+        loss_sp, mlist = jax.jit(lambda s: fm.method_loss_split(
+            method, dims, consts, True, False, s, batch["clinical"],
+            batch["rois"], noise))(sp)
         np.testing.assert_allclose(float(loss_sp), float(loss_ref),
                                    rtol=1e-5)
         mnames = fm.method_metric_names(model, method)
@@ -108,12 +110,12 @@ class TestSplitForwardParity:
         dims = dims_from(cfg, B)
         consts = FusedConsts(cfg.beta, cfg.beta_style, cfg.beta_content)
 
-        g_ref = jax.grad(lambda p: general_loss(cfg, model, p, batch,
-                                                noise)[0])(params)
+        g_ref = jax.jit(jax.grad(lambda p: general_loss(
+            cfg, model, p, batch, noise)[0]))(params)
         sp = split_params(flatten_params(params, model), dims)
-        g_sp = jax.grad(lambda s: fm.method_loss_split(
+        g_sp = jax.jit(jax.grad(lambda s: fm.method_loss_split(
             cfg.method, dims, consts, True, False, s, batch["clinical"],
-            batch["rois"], noise)[0])(sp)
+            batch["rois"], noise)[0]))(sp)
         g_sp_tree = unflatten_grads(join_params(g_sp, dims), params, model)
         for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                         jax.tree_util.tree_leaves(g_sp_tree)):

@@ -19,6 +19,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from multivae_tpu.models import build_model, make_modalities
@@ -199,7 +200,8 @@ def run_both(ref, method, batch_np, present=("clinical", "rois")):
     params = init_params(cfg, model_j, batch_full, seed=3)
     batch_j = {k: v for k, v in batch_full.items() if k in present}
     noise = jnp.zeros((B, model_j.noise_width(batch_j)), jnp.float32)
-    out_j = model_j.apply({"params": params}, batch_j, noise=noise)
+    out_j = jax.jit(lambda p: model_j.apply(
+        {"params": p}, batch_j, noise=noise))(params)
 
     flags = make_flags(method)
     model_t, modalities = build_reference_model(ref, flags)
@@ -285,7 +287,7 @@ class TestGradParity:
             return total_loss(cfg, model_j, {"params": p}, batch_j, out,
                               None, noise_uni=noise_uni)[0]
 
-        g = jax.grad(loss_fn)(params)
+        g = jax.jit(jax.grad(loss_fn))(params)
 
         exp = types.SimpleNamespace(
             flags=flags, models=model_t, modalities=modalities,

@@ -92,6 +92,35 @@ class TestLossComposition:
             unis = unis + m[f"log_prob_uni/{mod}"] + cfg.beta * div
         np.testing.assert_allclose(loss, joint + unis, rtol=1e-5)
 
+    @pytest.mark.parametrize("method", ["poe", "joint_elbo"])
+    def test_loss_invariant_across_jit_boundary(self, method):
+        """A jit boundary canonicalizes pytree dict key order (sorted), so
+        the model output's ``subsets`` dict no longer carries the
+        ``subset_stack`` row order. total_loss must not depend on dict
+        iteration order — it recovers the pairing from ``model.subsets``
+        (regression: poe's unimodal kld terms were silently mispaired)."""
+        cfg = make_cfg(method, beta=2.0, beta_style=1.5, beta_content=0.5)
+        batch = correlated_batch(cfg)
+        model, params, _ = setup(cfg, batch)
+        variables = {"params": params}
+        noise = jnp.zeros((B, model.noise_width(batch)), jnp.float32)
+        nu = None
+        if method == "poe":
+            nu = {n: jnp.zeros((B, model.noise_width({n: None})),
+                               jnp.float32)
+                  for n in ("clinical", "rois")}
+        out_e = model.apply(variables, batch, noise=noise)
+        out_j = jax.jit(lambda p: model.apply({"params": p}, batch,
+                                              noise=noise))(params)
+        loss_e, m_e = total_loss(cfg, model, variables, batch, out_e, None,
+                                 noise_uni=nu)
+        loss_j, m_j = total_loss(cfg, model, variables, batch, out_j, None,
+                                 noise_uni=nu)
+        np.testing.assert_allclose(float(loss_j), float(loss_e), rtol=1e-6)
+        for k in m_e:
+            np.testing.assert_allclose(float(m_j[k]), float(m_e[k]),
+                                       rtol=1e-6, err_msg=k)
+
     def test_unfactorized_has_no_style_terms(self):
         cfg = make_cfg("joint_elbo", factorized_representation=False)
         batch = correlated_batch(cfg)
