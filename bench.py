@@ -31,14 +31,26 @@ STEPS = 300
 AVATAR_SAMPLES = 150  # per-score decode sweep size for the avatars metric
 # (matches the reference's published DAA config, README.md:84 n_samples=150)
 
+# watchdog wall-clock caps (module-level so tests can shrink them): two
+# TPU attempts (cold-compile budget, then warm-cache budget), then one
+# hermetic-CPU degraded-mode attempt
+TPU_WATCHDOG_CAPS = (750.0, 420.0)
+CPU_WATCHDOG_CAP = 420.0
+
 
 # --------------------------------------------------------------------------
 # JAX path
 # --------------------------------------------------------------------------
-def bench_jax(deadline_s: float = 330.0):
+def bench_jax(deadline_s: float = 330.0, general: bool = False):
     """Measure on the default backend; stop adding measurement windows
     once ``deadline_s`` of wall clock has elapsed (the shared-pool relay
-    can stall for minutes — the driver must always get its JSON line)."""
+    can stall for minutes — the driver must always get its JSON line).
+
+    ``general=True`` measures the general jitted scan path instead of the
+    Pallas kernels — the degraded-mode configuration used when the TPU
+    relay is hard-down and the watchdog falls back to the CPU backend
+    (Mosaic kernels only lower on TPU; interpret mode is not a benchmark).
+    """
     import os
 
     import jax
@@ -94,9 +106,16 @@ def bench_jax(deadline_s: float = 330.0):
     # one dispatch executes `chunk` steps; chaining `reps` dispatches before
     # the single forcing fetch amortizes the relay round-trip (~10 ms per
     # dispatch, ~25 ms per fetch) — the kernel itself runs ~7 us/step
-    chunk = 800
-    reps = 8
-    scan_fn = fs.make_fused_scan_train_step(cfg, model, make_optimizer(cfg))
+    if general:
+        from multivae_tpu.train.train_step import make_scan_train_step
+        chunk = 100  # the 1-core CPU host runs ~3 orders slower per step
+        reps = 2
+        scan_fn = make_scan_train_step(cfg, model, make_optimizer(cfg))
+    else:
+        chunk = 800
+        reps = 8
+        scan_fn = fs.make_fused_scan_train_step(cfg, model,
+                                                make_optimizer(cfg))
     host_batch = {k: np.asarray(v) for k, v in batch.items()}
     batches = {k: jnp.asarray(np.stack([v] * chunk))
                for k, v in host_batch.items()}
@@ -127,10 +146,11 @@ def bench_jax(deadline_s: float = 330.0):
     # secondary: a non-flagship method (moe) on the method-dispatched
     # fused kernel (ops/fused_methods.py); skipped entirely when the
     # primary stage ate the budget (its compile alone can cost a minute)
+    # and on the general/CPU degraded mode (no Mosaic on CPU)
     moe_sps = None
-    if time_left() < deadline_s * 0.35:
+    if general or time_left() < deadline_s * 0.35:
         return _avatar_stage(jax, jnp, rng, model, params, batch, cfg,
-                             train_sps, moe_sps)
+                             train_sps, moe_sps, general=general)
     from multivae_tpu.ops.fused_methods import make_method_fused_epoch
 
     cfg_moe = Config(method="moe", input_dim=list(DIMS),
@@ -166,20 +186,21 @@ def bench_jax(deadline_s: float = 330.0):
 
 
 def _avatar_stage(jax, jnp, rng, model, params, batch, cfg, train_sps,
-                  moe_sps):
+                  moe_sps, general: bool = False):
     """Avatar decode throughput: one (sample x score) sweep over a
     50-subject batch (workflow.py:406-419 inner loops), fused Pallas
-    path."""
+    path (general jitted path in CPU degraded mode: cfg=None)."""
     from multivae_tpu.analysis.daa import avatar_sweep
     data = {k: v[:50] for k, v in batch.items()}
     grid = jnp.asarray(rng.normal(size=(AVATAR_SAMPLES, 50, DIMS[0]))
                        .astype(np.float32))
     sweep = jax.jit(lambda key: avatar_sweep(
-        model, params, data, grid, True, key, cfg=cfg))
+        model, params, data, grid, True, key,
+        cfg=None if general else cfg))
     out = sweep(jax.random.PRNGKey(1))
     _ = float(out[0, 0, 0, 0])
     best = 0.0
-    for i in range(4):
+    for i in range(1 if general else 4):
         t0 = time.perf_counter()
         out = sweep(jax.random.fold_in(jax.random.PRNGKey(1), i))
         _ = float(out[0, 0, 0, 0])
@@ -286,18 +307,31 @@ def _run_jax_stage_watchdogged():
     child process can always be killed; one retry rescues a transient
     congestion wave. The first cap budgets for a cold remote compile
     (~370 s) PLUS the child's own 330 s measurement deadline; the retry
-    assumes the compile cache was populated by the first attempt. Returns
-    ``(train_sps, avatars_per_sec, moe_sps)`` or ``None`` if both
-    attempts stalled."""
+    assumes the compile cache was populated by the first attempt. If both
+    attempts stall (relay hard-down), a final attempt measures the general
+    jitted path on a hermetic CPU backend (env scrubbed of the axon
+    trigger vars so the sitecustomize never registers the TPU plugin) —
+    an honest degraded number beats none. Returns
+    ``(train_sps, avatars_per_sec, moe_sps, backend)`` or ``None`` if
+    every attempt stalled."""
     import os
     import subprocess
     import sys
 
-    for cap_s in (750.0, 420.0):
+    cpu_env = dict(os.environ)
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                "AXON_LOOPBACK_RELAY"):
+        cpu_env.pop(var, None)
+    cpu_env["JAX_PLATFORMS"] = "cpu"
+    attempts = [(cap, [], None, "tpu") for cap in TPU_WATCHDOG_CAPS]
+    attempts.append((CPU_WATCHDOG_CAP, ["--general-path"], cpu_env,
+                     "cpu-fallback"))
+    for cap_s, extra, env, backend in attempts:
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--stage", "jax"],
-                capture_output=True, text=True, timeout=cap_s)
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", "jax"] + extra,
+                capture_output=True, text=True, timeout=cap_s, env=env)
         except subprocess.TimeoutExpired:
             continue
         if proc.returncode != 0:
@@ -305,7 +339,8 @@ def _run_jax_stage_watchdogged():
         for ln in reversed(proc.stdout.strip().splitlines()):
             try:
                 p = json.loads(ln)
-                return p["train_sps"], p["avatars_per_sec"], p["moe_sps"]
+                return (p["train_sps"], p["avatars_per_sec"], p["moe_sps"],
+                        backend)
             except (ValueError, TypeError, KeyError):
                 continue  # stray stdout line; keep scanning upwards
     return None
@@ -318,9 +353,13 @@ def main():
     ap.add_argument("--stage", choices=["all", "jax"], default="all")
     ap.add_argument("--no-watchdog", action="store_true",
                     help="measure in-process (hangs if the relay stalls)")
+    ap.add_argument("--general-path", action="store_true",
+                    help="measure the general jitted path instead of the "
+                         "Pallas kernels (CPU degraded mode)")
     args = ap.parse_args()
     if args.stage == "jax":
-        train_sps, avatars_per_sec, moe_sps = bench_jax()
+        train_sps, avatars_per_sec, moe_sps = bench_jax(
+            general=args.general_path)
         print(json.dumps({"train_sps": train_sps,
                           "avatars_per_sec": avatars_per_sec,
                           "moe_sps": moe_sps}))
@@ -328,7 +367,7 @@ def main():
 
     torch_sps = bench_torch()
     if args.no_watchdog:
-        measured = bench_jax()
+        measured = (*bench_jax(general=args.general_path), "in-process")
     else:
         measured = _run_jax_stage_watchdogged()
     if measured is None:
@@ -338,12 +377,13 @@ def main():
             "unit": "steps/s",
             "vs_baseline": 0.0,
             "baseline_torch_cpu_steps_per_sec": round(torch_sps, 3),
-            "error": "TPU relay stalled: no measurement window completed "
-                     "within two watchdog caps (420s + 300s)",
+            "error": "TPU relay stalled AND the CPU fallback failed: no "
+                     "measurement window completed within three watchdog "
+                     "caps (750s + 420s TPU, 420s CPU)",
             "config": "joint_elbo b256 dims(7,444) latent20 style(3,20)",
         }))
         return
-    train_sps, avatars_per_sec, moe_sps = measured
+    train_sps, avatars_per_sec, moe_sps, backend = measured
     result = {
         "metric": "mopoe_train_steps_per_sec",
         "value": round(train_sps, 3),
@@ -353,6 +393,12 @@ def main():
         "avatars_per_sec": round(avatars_per_sec, 1),
         "config": "joint_elbo b256 dims(7,444) latent20 style(3,20)",
     }
+    if backend == "cpu-fallback":
+        result["backend"] = "cpu-fallback"
+        result["note"] = ("TPU relay was hard-down; this measures the "
+                          "general jitted path on the 1-core CPU host, NOT "
+                          "the Pallas TPU kernels (which bench ~65k steps/s "
+                          "when the relay is up — see BASELINE.md)")
     if moe_sps:
         result["moe_method_kernel_steps_per_sec"] = round(moe_sps, 3)
     print(json.dumps(result))

@@ -1,0 +1,83 @@
+"""Watchdog orchestration of bench.py's measurement stages.
+
+The driver runs ``bench.py`` at round end and must always get one JSON
+line; when the TPU relay is hard-down both TPU attempts stall and the
+watchdog falls back to a hermetic-CPU degraded measurement. These tests
+pin the orchestration (attempt order, env scrubbing, output parsing)
+with a stubbed child process — the real CPU stage is exercised by
+running ``bench.py --stage jax --general-path`` manually.
+"""
+import json
+import subprocess
+import sys
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+import bench  # noqa: E402
+
+
+class _Proc:
+    def __init__(self, stdout, returncode=0):
+        self.stdout = stdout
+        self.returncode = returncode
+
+
+def test_fallback_to_cpu_after_tpu_stalls(monkeypatch):
+    calls = []
+
+    def fake_run(cmd, capture_output, text, timeout, env=None):
+        calls.append((cmd, timeout, env))
+        if len(calls) <= 2:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return _Proc(json.dumps({"train_sps": 280.0,
+                                 "avatars_per_sec": 2.7e5,
+                                 "moe_sps": None}) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench._run_jax_stage_watchdogged()
+    assert out == (280.0, 2.7e5, None, "cpu-fallback")
+    assert len(calls) == 3
+    # TPU attempts inherit the parent env (env=None); the fallback scrubs
+    # the axon trigger vars and pins the CPU platform
+    assert calls[0][2] is None and calls[1][2] is None
+    cpu_env = calls[2][2]
+    assert cpu_env["JAX_PLATFORMS"] == "cpu"
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                "AXON_LOOPBACK_RELAY"):
+        assert var not in cpu_env
+    assert "--general-path" in calls[2][0]
+    assert calls[0][1] == bench.TPU_WATCHDOG_CAPS[0]
+    assert calls[2][1] == bench.CPU_WATCHDOG_CAP
+
+
+def test_first_tpu_attempt_wins(monkeypatch):
+    def fake_run(cmd, capture_output, text, timeout, env=None):
+        return _Proc("stray line\n" + json.dumps(
+            {"train_sps": 65000.0, "avatars_per_sec": 1.8e6,
+             "moe_sps": 62000.0}) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._run_jax_stage_watchdogged() == (
+        65000.0, 1.8e6, 62000.0, "tpu")
+
+
+def test_all_attempts_stall_returns_none(monkeypatch):
+    def fake_run(cmd, capture_output, text, timeout, env=None):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._run_jax_stage_watchdogged() is None
+
+
+def test_nonzero_child_exit_falls_through(monkeypatch):
+    seen = []
+
+    def fake_run(cmd, capture_output, text, timeout, env=None):
+        seen.append(cmd)
+        if len(seen) < 3:
+            return _Proc("", returncode=1)
+        return _Proc(json.dumps({"train_sps": 1.0, "avatars_per_sec": 2.0,
+                                 "moe_sps": None}) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._run_jax_stage_watchdogged() == (1.0, 2.0, None,
+                                                  "cpu-fallback")
