@@ -311,39 +311,49 @@ def _run_jax_stage_watchdogged():
     attempts stall (relay hard-down), a final attempt measures the general
     jitted path on a hermetic CPU backend (env scrubbed of the axon
     trigger vars so the sitecustomize never registers the TPU plugin) —
-    an honest degraded number beats none. Returns
-    ``(train_sps, avatars_per_sec, moe_sps, backend)`` or ``None`` if
-    every attempt stalled."""
+    an honest degraded number beats none. Per-attempt failure reasons
+    (timeout vs child error, with a stderr tail) are collected so a code
+    regression in the TPU path is reported as such, never mislabeled as a
+    relay outage. Returns ``(train_sps, avatars_per_sec, moe_sps, backend,
+    failures)`` or ``(None, failures)`` if every attempt failed."""
     import os
     import subprocess
     import sys
 
-    cpu_env = dict(os.environ)
-    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
-                "AXON_LOOPBACK_RELAY"):
-        cpu_env.pop(var, None)
-    cpu_env["JAX_PLATFORMS"] = "cpu"
+    from multivae_tpu.utils.hermetic import hermetic_cpu_env
+
     attempts = [(cap, [], None, "tpu") for cap in TPU_WATCHDOG_CAPS]
-    attempts.append((CPU_WATCHDOG_CAP, ["--general-path"], cpu_env,
-                     "cpu-fallback"))
-    for cap_s, extra, env, backend in attempts:
+    attempts.append((CPU_WATCHDOG_CAP, ["--general-path"],
+                     hermetic_cpu_env(), "cpu-fallback"))
+    failures = []
+    for i, (cap_s, extra, env, backend) in enumerate(attempts):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--stage", "jax"] + extra,
                 capture_output=True, text=True, timeout=cap_s, env=env)
         except subprocess.TimeoutExpired:
+            failures.append(f"{backend} attempt {i + 1}: no result within "
+                            f"the {cap_s:.0f}s watchdog cap (stalled)")
             continue
         if proc.returncode != 0:
+            tail = (proc.stderr or "").strip()[-600:]
+            failures.append(f"{backend} attempt {i + 1}: child exited "
+                            f"rc={proc.returncode}; stderr tail: {tail}")
+            print(f"bench: {backend} attempt {i + 1} failed "
+                  f"(rc={proc.returncode}); stderr tail:\n{tail}",
+                  file=sys.stderr)
             continue
         for ln in reversed(proc.stdout.strip().splitlines()):
             try:
                 p = json.loads(ln)
                 return (p["train_sps"], p["avatars_per_sec"], p["moe_sps"],
-                        backend)
+                        backend, failures)
             except (ValueError, TypeError, KeyError):
                 continue  # stray stdout line; keep scanning upwards
-    return None
+        failures.append(f"{backend} attempt {i + 1}: exited 0 but printed "
+                        "no JSON result line")
+    return (None, failures)
 
 
 def main():
@@ -367,23 +377,25 @@ def main():
 
     torch_sps = bench_torch()
     if args.no_watchdog:
-        measured = (*bench_jax(general=args.general_path), "in-process")
+        backend = "cpu-general-in-process" if args.general_path \
+            else "in-process"
+        measured = (*bench_jax(general=args.general_path), backend, [])
     else:
         measured = _run_jax_stage_watchdogged()
-    if measured is None:
+    if measured[0] is None:
         print(json.dumps({
             "metric": "mopoe_train_steps_per_sec",
             "value": 0.0,
             "unit": "steps/s",
             "vs_baseline": 0.0,
             "baseline_torch_cpu_steps_per_sec": round(torch_sps, 3),
-            "error": "TPU relay stalled AND the CPU fallback failed: no "
-                     "measurement window completed within three watchdog "
-                     "caps (750s + 420s TPU, 420s CPU)",
+            "error": "every measurement attempt failed (TPU x2, then the "
+                     "hermetic CPU fallback)",
+            "attempt_failures": measured[1],
             "config": "joint_elbo b256 dims(7,444) latent20 style(3,20)",
         }))
         return
-    train_sps, avatars_per_sec, moe_sps, backend = measured
+    train_sps, avatars_per_sec, moe_sps, backend, failures = measured
     result = {
         "metric": "mopoe_train_steps_per_sec",
         "value": round(train_sps, 3),
@@ -393,12 +405,21 @@ def main():
         "avatars_per_sec": round(avatars_per_sec, 1),
         "config": "joint_elbo b256 dims(7,444) latent20 style(3,20)",
     }
-    if backend == "cpu-fallback":
-        result["backend"] = "cpu-fallback"
-        result["note"] = ("TPU relay was hard-down; this measures the "
-                          "general jitted path on the 1-core CPU host, NOT "
-                          "the Pallas TPU kernels (which bench ~65k steps/s "
-                          "when the relay is up — see BASELINE.md)")
+    if backend not in ("tpu", "in-process"):
+        result["backend"] = backend
+        note = ("degraded mode: this measures the GENERAL jitted path on "
+                "the CPU host, NOT the Pallas TPU kernels (~65k steps/s "
+                "when the relay is up — see BASELINE.md).")
+        if backend == "cpu-fallback":
+            if any("rc=" in f for f in failures):
+                note += (" The TPU attempts ERRORED (see tpu_failures — "
+                         "likely a code regression, not an outage).")
+            else:
+                note += (" The TPU attempts stalled against the relay "
+                         "(outage or hard congestion).")
+        result["note"] = note
+    if failures:
+        result["tpu_failures"] = failures
     if moe_sps:
         result["moe_method_kernel_steps_per_sec"] = round(moe_sps, 3)
     print(json.dumps(result))

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ops
+from ..utils.jit_cache import cached_jit
 
 
 def _imp_samples(rng, mu, logvar, k):
@@ -27,8 +28,7 @@ def _imp_samples(rng, mu, logvar, k):
     return mu[None] + eps * jnp.exp(0.5 * logvar)[None]
 
 
-# jitted per (model, num_imp_samples); jax re-traces on new batch shapes.
-# Keyed by id() with a strong model ref so the id cannot be recycled.
+# jitted per (model, num_imp_samples); jax re-traces on new batch shapes
 _JIT_CACHE: Dict[tuple, tuple] = {}
 
 
@@ -41,15 +41,11 @@ def batch_likelihoods(model, params, batch, rng, num_imp_samples: int = 12):
     modality belongs to the subset). Runs as ONE jitted dispatch — eager
     op-by-op execution costs a relay round-trip per op on remote TPUs.
     """
-    key = (id(model), num_imp_samples)
-    ent = _JIT_CACHE.get(key)
-    if ent is None or ent[0] is not model:
-        fn = jax.jit(lambda p, b, r: _batch_likelihoods_impl(
-            model, p, b, r, num_imp_samples))
-        if len(_JIT_CACHE) > 32:  # bound: a few models per process
-            _JIT_CACHE.clear()
-        _JIT_CACHE[key] = ent = (model, fn)
-    return ent[1](params, batch, rng)
+    fn = cached_jit(
+        _JIT_CACHE, model, (num_imp_samples,),
+        lambda: jax.jit(lambda p, b, r: _batch_likelihoods_impl(
+            model, p, b, r, num_imp_samples)))
+    return fn(params, batch, rng)
 
 
 def _batch_likelihoods_impl(model, params, batch, rng,

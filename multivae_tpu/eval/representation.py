@@ -16,14 +16,23 @@ import jax.numpy as jnp
 import numpy as np
 from sklearn.linear_model import LogisticRegression
 
+from ..utils.jit_cache import cached_jit
+
+# jitted inference per model — train/test probe passes and every eval
+# cadence hit reuse one compiled program instead of re-tracing
+_INFER_JIT_CACHE: Dict[tuple, tuple] = {}
+
 
 def _subset_latents(exp, dataset, params, rng):
     complete = dataset.idx_per_modality_subset[-1]
     data, labels, _ = dataset.gather(complete)
     batch = {k: jnp.asarray(v) for k, v in data.items()}
-    latents = jax.jit(lambda p, b, r: exp.model.apply(
-        {"params": p}, b, method="inference",
-        rngs={"sample": r}))(params, batch, rng)
+    model = exp.model
+    infer = cached_jit(
+        _INFER_JIT_CACHE, model, (),
+        lambda: jax.jit(lambda p, b, r: model.apply(
+            {"params": p}, b, method="inference", rngs={"sample": r})))
+    latents = infer(params, batch, rng)
     feats = {s: np.asarray(mu) for s, (mu, _) in latents["subsets"].items()}
     return feats, np.asarray(labels)
 

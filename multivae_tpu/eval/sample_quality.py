@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import linalg
 
+from ..utils.jit_cache import cached_jit
 from .prd import compute_prd_from_embedding, prd_to_max_f_beta_pair
+
+# jitted inference+cond_generation per model (shapes re-trace via jax's
+# own cache); keyed by id() with a strong model ref so ids cannot recycle
+_COND_JIT_CACHE: Dict[tuple, tuple] = {}
 
 
 def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
@@ -74,15 +79,20 @@ def generate_conditional_samples(exp, model_idx: int = 0,
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed + 7)
 
     # one jitted dispatch (eager op-by-op execution costs a relay
-    # round-trip per op on remote TPUs)
-    def _run(p, b, r):
-        latents = exp.model.apply({"params": p}, b, method="inference",
+    # round-trip per op on remote TPUs); cached per model so the PRD/FID/
+    # coherence cadence doesn't re-trace + recompile on every call
+    model = exp.model
+
+    def _build():
+        def _run(p, b, r):
+            latents = model.apply({"params": p}, b, method="inference",
                                   rngs={"sample": r})
-        return exp.model.apply({"params": p}, latents["subsets"],
+            return model.apply({"params": p}, latents["subsets"],
                                method="cond_generation",
                                rngs={"sample": jax.random.fold_in(r, 1)})
+        return jax.jit(_run)
 
-    cond = jax.jit(_run)(params, batch, rng)
+    cond = cached_jit(_COND_JIT_CACHE, model, (), _build)(params, batch, rng)
     real = {k: np.asarray(v) for k, v in data.items()}
     gen = {s: {m: np.asarray(v) for m, v in d.items()}
            for s, d in cond.items()}

@@ -3,9 +3,9 @@
 The driver runs ``bench.py`` at round end and must always get one JSON
 line; when the TPU relay is hard-down both TPU attempts stall and the
 watchdog falls back to a hermetic-CPU degraded measurement. These tests
-pin the orchestration (attempt order, env scrubbing, output parsing)
-with a stubbed child process — the real CPU stage is exercised by
-running ``bench.py --stage jax --general-path`` manually.
+pin the orchestration (attempt order, env scrubbing, output parsing,
+failure attribution) with a stubbed child process — the real CPU stage
+is exercised by running ``bench.py --stage jax --general-path``.
 """
 import json
 import subprocess
@@ -13,12 +13,14 @@ import sys
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
 import bench  # noqa: E402
+from multivae_tpu.utils.hermetic import AXON_TRIGGER_VARS  # noqa: E402
 
 
 class _Proc:
-    def __init__(self, stdout, returncode=0):
+    def __init__(self, stdout, returncode=0, stderr=""):
         self.stdout = stdout
         self.returncode = returncode
+        self.stderr = stderr
 
 
 def test_fallback_to_cpu_after_tpu_stalls(monkeypatch):
@@ -34,15 +36,17 @@ def test_fallback_to_cpu_after_tpu_stalls(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     out = bench._run_jax_stage_watchdogged()
-    assert out == (280.0, 2.7e5, None, "cpu-fallback")
+    train_sps, avatars, moe, backend, failures = out
+    assert (train_sps, avatars, moe, backend) == (
+        280.0, 2.7e5, None, "cpu-fallback")
+    assert len(failures) == 2 and all("stalled" in f for f in failures)
     assert len(calls) == 3
     # TPU attempts inherit the parent env (env=None); the fallback scrubs
     # the axon trigger vars and pins the CPU platform
     assert calls[0][2] is None and calls[1][2] is None
     cpu_env = calls[2][2]
     assert cpu_env["JAX_PLATFORMS"] == "cpu"
-    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
-                "AXON_LOOPBACK_RELAY"):
+    for var in AXON_TRIGGER_VARS:
         assert var not in cpu_env
     assert "--general-path" in calls[2][0]
     assert calls[0][1] == bench.TPU_WATCHDOG_CAPS[0]
@@ -57,27 +61,37 @@ def test_first_tpu_attempt_wins(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._run_jax_stage_watchdogged() == (
-        65000.0, 1.8e6, 62000.0, "tpu")
+        65000.0, 1.8e6, 62000.0, "tpu", [])
 
 
-def test_all_attempts_stall_returns_none(monkeypatch):
+def test_all_attempts_stall_returns_failures(monkeypatch):
     def fake_run(cmd, capture_output, text, timeout, env=None):
         raise subprocess.TimeoutExpired(cmd, timeout)
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    assert bench._run_jax_stage_watchdogged() is None
+    res, failures = bench._run_jax_stage_watchdogged()
+    assert res is None
+    assert len(failures) == 3
 
 
-def test_nonzero_child_exit_falls_through(monkeypatch):
+def test_child_error_recorded_with_stderr_tail(monkeypatch, capsys):
+    """A TPU-path code regression (child exits nonzero) must be attributed
+    as an ERROR — not silently folded into the relay-outage story."""
     seen = []
 
     def fake_run(cmd, capture_output, text, timeout, env=None):
         seen.append(cmd)
         if len(seen) < 3:
-            return _Proc("", returncode=1)
+            return _Proc("", returncode=1,
+                         stderr="Traceback ...\nValueError: kernel broke")
         return _Proc(json.dumps({"train_sps": 1.0, "avatars_per_sec": 2.0,
                                  "moe_sps": None}) + "\n")
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    assert bench._run_jax_stage_watchdogged() == (1.0, 2.0, None,
-                                                  "cpu-fallback")
+    out = bench._run_jax_stage_watchdogged()
+    assert out[:4] == (1.0, 2.0, None, "cpu-fallback")
+    failures = out[4]
+    assert len(failures) == 2
+    assert all("rc=1" in f and "kernel broke" in f for f in failures)
+    # the child's stderr tail is surfaced on the parent's stderr too
+    assert "kernel broke" in capsys.readouterr().err

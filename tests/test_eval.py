@@ -214,3 +214,69 @@ class TestCoherence:
         score = calculate_coherence(small_exp,
                                     {k: np.asarray(v) for k, v in gen.items()})
         assert np.isnan(score) or 0.0 <= score <= 1.0
+
+
+class TestJitCache:
+    """The eval modules must reuse one compiled program per model — a
+    fresh jit per call re-traces and recompiles (seconds-to-minutes
+    through the remote relay) on every PRD/NLL/probe cadence hit."""
+
+    def test_cached_jit_reuses_and_guards_id_recycle(self):
+        from multivae_tpu.utils.jit_cache import cached_jit
+
+        cache = {}
+        builds = []
+        model_a = object()
+        fn_a = cached_jit(cache, model_a, (12,),
+                          lambda: builds.append("a") or "prog_a")
+        assert fn_a == "prog_a" and builds == ["a"]
+        # same model + extra: no rebuild
+        assert cached_jit(cache, model_a, (12,), lambda: builds.append(
+            "a2") or "prog_a2") == "prog_a"
+        assert builds == ["a"]
+        # different extra: separate entry
+        cached_jit(cache, model_a, (24,), lambda: builds.append(
+            "a24") or "prog_a24")
+        assert builds == ["a", "a24"]
+        # a DIFFERENT model whose id() collides (simulated by reusing the
+        # key) must rebuild: identity is re-validated on lookup
+        key = (id(model_a), 12)
+        model_b = object()
+        cache[key] = (model_b, "stale")
+        assert cached_jit(cache, model_a, (12,), lambda: builds.append(
+            "re") or "prog_re") == "prog_re"
+        assert builds == ["a", "a24", "re"]
+
+    def test_conditional_generation_compiles_once(self, small_exp,
+                                                  monkeypatch):
+        from multivae_tpu.eval import sample_quality as sq
+
+        monkeypatch.setattr(sq, "_COND_JIT_CACHE", {})
+        calls = []
+        real_jit = jax.jit
+
+        def counting_jit(*a, **k):
+            calls.append(1)
+            return real_jit(*a, **k)
+
+        monkeypatch.setattr(sq.jax, "jit", counting_jit)
+        sq.generate_conditional_samples(small_exp, num_samples=8)
+        sq.generate_conditional_samples(small_exp, num_samples=8)
+        assert len(calls) == 1
+
+    def test_representation_inference_compiles_once(self, small_exp,
+                                                    monkeypatch):
+        from multivae_tpu.eval import representation as rp
+
+        monkeypatch.setattr(rp, "_INFER_JIT_CACHE", {})
+        calls = []
+        real_jit = jax.jit
+
+        def counting_jit(*a, **k):
+            calls.append(1)
+            return real_jit(*a, **k)
+
+        monkeypatch.setattr(rp.jax, "jit", counting_jit)
+        clfs = train_clf_lr_all_subsets(small_exp)
+        test_clf_lr_all_subsets(small_exp, clfs)
+        assert len(calls) == 1
