@@ -8,6 +8,15 @@ Reference: ``experiments/eval_metrics/likelihood.py`` (``estimate_likelihoods``
 modality plus the joint ``log p(x)``. Here the whole per-batch computation —
 every subset, every modality — is one jitted function; importance samples ride
 a leading axis instead of host-side ``repeat``.
+
+The published driver cannot actually run on this cohort (2-D targets are
+never tiled for K>1, ``utils/likelihood.py:104-121``; the factorized branch
+crashes on ``next(batch.values())``, ``eval_metrics/likelihood.py:38``; the
+joint estimate sizes its batch as the modality count,
+``utils/likelihood.py:162``) — this implementation realizes its evident
+intent, and ``tests/test_reference_parity.py::TestIWAEParity`` pins exact
+parity against the real reference functions in their runnable
+configurations.
 """
 
 from __future__ import annotations
@@ -58,27 +67,14 @@ def _batch_likelihoods_impl(model, params, batch, rng,
     present = [m.name for m in model.modalities if m.name in batch]
     b = batch[present[0]].shape[0]
 
-    # encoded styles (or unit-Gaussian defaults, get_random_style_dists)
-    style_mu, style_lv = {}, {}
+    # encoded per-modality styles (None when the modality is missing from
+    # the batch or the model is unfactorized)
+    enc_style_mu, enc_style_lv = {}, {}
     for mod in model.modalities:
         s_mu, s_lv = latents["modalities"][mod.name + "_style"]
-        if s_mu is None:
-            if model.factorized_representation and mod.style_dim > 0:
-                s_mu = jnp.zeros((b, mod.style_dim))
-                s_lv = jnp.zeros((b, mod.style_dim))
-            else:
-                s_mu = s_lv = None
-        style_mu[mod.name], style_lv[mod.name] = s_mu, s_lv
+        enc_style_mu[mod.name], enc_style_lv[mod.name] = s_mu, s_lv
 
     rng_c, rng_s = jax.random.split(rng)
-    style_z = {}
-    for i, mod in enumerate(model.modalities):
-        if style_mu[mod.name] is not None:
-            style_z[mod.name] = _imp_samples(
-                jax.random.fold_in(rng_s, i), style_mu[mod.name],
-                style_lv[mod.name], k)
-        else:
-            style_z[mod.name] = None
 
     out: Dict[str, Dict[str, jnp.ndarray]] = {}
     for s_idx, (s_key, s_mods) in enumerate(subsets.items()):
@@ -86,6 +82,31 @@ def _batch_likelihoods_impl(model, params, batch, rng,
             continue
         s_mu, s_lv = latents["subsets"][s_key]
         z = _imp_samples(jax.random.fold_in(rng_c, s_idx), s_mu, s_lv, k)
+        subset_names = set(m for m in s_mods)
+
+        # per-subset style dists (calc_log_likelihood_batch:36-45): the
+        # ENCODED posterior for modalities in the subset, a unit-Gaussian
+        # prior draw (get_random_style_dists) for the rest — conditioning
+        # on subset s gives no information about another modality's style,
+        # so using its encoded posterior would leak the target into its
+        # own likelihood estimate
+        style_mu, style_lv, style_z = {}, {}, {}
+        for i, mod in enumerate(model.modalities):
+            s_mu_m, s_lv_m = enc_style_mu[mod.name], enc_style_lv[mod.name]
+            if (mod.name not in subset_names or s_mu_m is None):
+                if model.factorized_representation and mod.style_dim > 0:
+                    s_mu_m = jnp.zeros((b, mod.style_dim))
+                    s_lv_m = jnp.zeros((b, mod.style_dim))
+                else:
+                    s_mu_m = s_lv_m = None
+            style_mu[mod.name], style_lv[mod.name] = s_mu_m, s_lv_m
+            if s_mu_m is not None:
+                style_z[mod.name] = _imp_samples(
+                    jax.random.fold_in(rng_s, s_idx * 16 + i),
+                    s_mu_m, s_lv_m, k)
+            else:
+                style_z[mod.name] = None
+
         # decode every modality from (style, content) for all K samples
         log_px_z = {}
         for mod in model.modalities:

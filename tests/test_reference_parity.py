@@ -103,6 +103,8 @@ def ref():
     mods.Clinical, mods.Rois = cohort.Clinical, cohort.Rois
     mods.run_epochs = importlib.import_module("run_epochs")
     mods.utils = importlib.import_module("utils.utils")
+    mods.likelihood_utils = importlib.import_module("utils.likelihood")
+    mods.eval_likelihood = importlib.import_module("eval_metrics.likelihood")
     yield mods
     sys.path.remove(REF)
 
@@ -368,3 +370,202 @@ class TestLossParity:
             np.testing.assert_allclose(
                 float(metrics_j[f"kld/{key}"]), float(val), rtol=2e-4,
                 atol=1e-6, err_msg=f"kld {key}")
+
+
+# ---------------------------------------------------------------------------
+# IWAE likelihood parity (eval_metrics/likelihood.py + utils/likelihood.py)
+# ---------------------------------------------------------------------------
+# The reference's own IWAE driver cannot run as published on this cohort:
+#  * utils/likelihood.py:104-121 never tiles 2-D (tabular) targets, so
+#    ``likelihood.log_prob(image)`` broadcasts [B,D] against [K*B,D] and
+#    crashes for num_imp_samples > 1 — K=1 is the only runnable setting;
+#  * eval_metrics/likelihood.py:38 calls ``next(batch.values())`` (a
+#    TypeError — dict_values is not an iterator), so the factorized branch
+#    of calc_log_likelihood_batch always crashes;
+#  * eval_metrics/likelihood.py:57-63 reuses the stale loop variable
+#    ``mod``, assigning every modality the LAST subset modality's style.
+# Parity is therefore asserted (a) end-to-end against the real driver in
+# its one runnable configuration (no styles, K=1), and (b) against the
+# real log_marginal_estimate/log_joint_estimate primitives with correctly
+# assembled styles for the factorized config. Zero-eps reparameterization
+# on both sides makes every importance sample equal its posterior mean, so
+# the K=1 reference value equals our K>1 value exactly.
+
+
+def _zero_imp_samples(monkeypatch):
+    """Deterministic importance samples: z = mu, any K."""
+    import multivae_tpu.eval.likelihood as L
+    monkeypatch.setattr(
+        L, "_imp_samples",
+        lambda rng, mu, logvar, k: jnp.broadcast_to(
+            mu[None], (k,) + mu.shape))
+    monkeypatch.setattr(L, "_JIT_CACHE", {})
+
+
+class _RowLenDict(dict):
+    """Batch mapping whose ``len()`` is the ROW count, not the modality
+    count: ``log_joint_estimate`` derives ``batch_size = len(targets)``
+    from the batch dict (utils/likelihood.py:162-181), which is the number
+    of modalities for a plain dict — the upstream joint estimate is
+    unrunnable whenever B != num_mods. This wrapper lets the real function
+    execute with the batch size it plainly intends."""
+
+    def __len__(self):
+        return next(iter(self.values())).shape[0]
+
+
+def _rep(x, k):
+    """[B, D] -> [k*B, D] sample-major, the reference's repeat layout."""
+    return x.unsqueeze(0).repeat(k, 1, 1).view(k * x.shape[0], -1)
+
+
+class TestIWAEParity:
+    def test_content_only_matches_reference_driver(self, ref, batch_np,
+                                                   monkeypatch):
+        """End-to-end vs the REAL calc_log_likelihood_batch. style_dim=0
+        everywhere: the reference Decoder sizes its input as
+        style_dim+class_dim even when unfactorized
+        (networks.py:46-48 vs :69-73), so only zero style dims run."""
+        from multivae_tpu.eval.likelihood import batch_likelihoods
+
+        method = "joint_elbo"
+        cfg = Config(method=method, input_dim=[D1, D2], class_dim=CD,
+                     style_dim=[0, 0], hidden_dim=256,
+                     num_hidden_layer_encoder=1,
+                     num_hidden_layer_decoder=0, learn_output_scale=True,
+                     likelihood="normal", batch_size=B,
+                     factorized_representation=False).derive()
+        model_j = build_model(cfg, make_modalities(cfg.input_dim,
+                                                   cfg.style_dim,
+                                                   cfg.likelihood))
+        batch_j = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        params = init_params(cfg, model_j, batch_j, seed=3)
+        _zero_imp_samples(monkeypatch)
+        ours_k5 = batch_likelihoods(model_j, params, batch_j,
+                                    jax.random.PRNGKey(0), 5)
+        ours_k1 = batch_likelihoods(model_j, params, batch_j,
+                                    jax.random.PRNGKey(0), 1)
+
+        flags = make_flags(method)
+        flags.style_dim = [0, 0]
+        flags.factorized_representation = False
+        clinical = ref.Clinical(D1, ref.Encoder, ref.Decoder, CD, 0,
+                                "normal")
+        rois = ref.Rois(D2, ref.Encoder, ref.Decoder, CD, 0, "normal")
+        modalities = {"clinical": clinical, "rois": rois}
+        from itertools import chain, combinations
+        xs = list(modalities)
+        subsets = {}
+        for mod_names in chain.from_iterable(
+                combinations(xs, n) for n in range(len(xs) + 1)):
+            subsets["_".join(sorted(mod_names))] = [
+                modalities[m] for m in sorted(mod_names)]
+        model_t = ref.VAE(flags, modalities, subsets)
+        model_t.eval()
+        model_t.reparameterize = lambda mu, logvar: mu
+
+        def t(x):
+            return torch.from_numpy(np.array(x))
+
+        with torch.no_grad():
+            for i, name in enumerate(["clinical", "rois"]):
+                enc = model_t.encoders[name]
+                p = params[f"enc_{name}"]
+                enc.shared_encoder[0].weight.copy_(
+                    t(p["hidden_0"]["kernel"]).T)
+                enc.shared_encoder[0].bias.copy_(t(p["hidden_0"]["bias"]))
+                heads_w, heads_b = t(p["heads"]["kernel"]), \
+                    t(p["heads"]["bias"])
+                enc.class_mu.weight.copy_(heads_w[:, :CD].T)
+                enc.class_mu.bias.copy_(heads_b[:CD])
+                enc.class_logvar.weight.copy_(heads_w[:, CD:].T)
+                enc.class_logvar.bias.copy_(heads_b[CD:])
+                dec = model_t.decoders[name]
+                d = params[f"dec_{name}"]
+                dec.out_mu.weight.copy_(t(d["out_mu"]["kernel"]).T)
+                dec.out_mu.bias.copy_(t(d["out_mu"]["bias"]))
+                dec.logvar.copy_(t(d["out_logvar"]))
+
+        batch_t = _RowLenDict(
+            {k: torch.from_numpy(v) for k, v in batch_np.items()})
+        exp_t = types.SimpleNamespace(
+            flags=flags, mm_vae=model_t, modalities=modalities,
+            style_weights={m: 1.0 for m in modalities})
+        with torch.no_grad():
+            latents_t = model_t.inference(batch_t)
+            for s_key, s_mods in subsets.items():
+                if not s_key:
+                    continue
+                ll_t = ref.eval_likelihood.calc_log_likelihood_batch(
+                    exp_t, latents_t, s_key, s_mods, batch_t,
+                    num_imp_samples=1)
+                for m_key in ("clinical", "rois", "joint"):
+                    ref_v = float(ll_t[m_key])
+                    np.testing.assert_allclose(
+                        float(ours_k1[s_key][m_key]), ref_v, rtol=2e-4,
+                        err_msg=f"K1 {s_key}/{m_key}")
+                    np.testing.assert_allclose(
+                        float(ours_k5[s_key][m_key]), ref_v, rtol=2e-4,
+                        err_msg=f"K5 {s_key}/{m_key}")
+
+    @pytest.mark.parametrize("method", ["joint_elbo", "poe"])
+    def test_factorized_matches_reference_estimators(self, ref, batch_np,
+                                                     monkeypatch, method):
+        """Style-aware parity vs the REAL log_marginal_estimate /
+        log_joint_estimate with per-subset styles assembled the way
+        calc_log_likelihood_batch intends (encoded posterior for subset
+        modalities, unit-prior draw for the rest) — bypassing its stale
+        ``mod`` variable (eval_metrics/likelihood.py:57-63)."""
+        from multivae_tpu.eval.likelihood import batch_likelihoods
+
+        cfg = make_cfg(method)
+        model_j = build_model(cfg, make_modalities(cfg.input_dim,
+                                                   cfg.style_dim,
+                                                   cfg.likelihood))
+        batch_j = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        params = init_params(cfg, model_j, batch_j, seed=3)
+        _zero_imp_samples(monkeypatch)
+        ours = batch_likelihoods(model_j, params, batch_j,
+                                 jax.random.PRNGKey(0), 4)
+
+        flags = make_flags(method)
+        model_t, modalities = build_reference_model(ref, flags)
+        copy_weights(params, model_t)
+        batch_t = _RowLenDict(
+            {k: torch.from_numpy(v) for k, v in batch_np.items()})
+        with torch.no_grad():
+            latents_t = model_t.inference(batch_t)
+            for s_key, s_mods in model_t.subsets.items():
+                if not s_key:
+                    continue
+                in_subset = {m.name for m in s_mods}
+                c_mu, c_lv = latents_t["subsets"][s_key]
+                content = {"mu": _rep(c_mu, 1), "logvar": _rep(c_lv, 1),
+                           "z": _rep(c_mu, 1)}
+                styles, l_dec_style = {}, {}
+                for name, mod in modalities.items():
+                    if name in in_subset:
+                        s_mu, s_lv = latents_t["modalities"][
+                            name + "_style"]
+                    else:  # get_random_style_dists: unit prior, z = mu = 0
+                        s_mu = torch.zeros(B, mod.style_dim)
+                        s_lv = torch.zeros(B, mod.style_dim)
+                    styles[name] = {"mu": _rep(s_mu, 1),
+                                    "logvar": _rep(s_lv, 1),
+                                    "z": _rep(s_mu, 1)}
+                    l_dec_style[name] = styles[name]["z"]
+                gen = model_t.generate_sufficient_statistics_from_latents(
+                    {"content": content["z"], "style": l_dec_style})
+                for name in modalities:
+                    style_arg = styles[name] if name in in_subset else None
+                    ll_m = ref.likelihood_utils.log_marginal_estimate(
+                        flags, 1, gen[name], batch_t[name], style_arg,
+                        content)
+                    np.testing.assert_allclose(
+                        float(ours[s_key][name]), float(ll_m), rtol=2e-4,
+                        err_msg=f"{method} {s_key}/{name}")
+                ll_joint = ref.likelihood_utils.log_joint_estimate(
+                    flags, 1, gen, batch_t, styles, content)
+                np.testing.assert_allclose(
+                    float(ours[s_key]["joint"]), float(ll_joint),
+                    rtol=2e-4, err_msg=f"{method} {s_key}/joint")
