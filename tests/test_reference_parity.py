@@ -105,6 +105,8 @@ def ref():
     mods.utils = importlib.import_module("utils.utils")
     mods.likelihood_utils = importlib.import_module("utils.likelihood")
     mods.eval_likelihood = importlib.import_module("eval_metrics.likelihood")
+    mods.prd_score = importlib.import_module("prd_score.prd_score")
+    mods.fid_score = importlib.import_module("fid.fid_score")
     yield mods
     sys.path.remove(REF)
 
@@ -569,3 +571,74 @@ class TestIWAEParity:
                 np.testing.assert_allclose(
                     float(ours[s_key]["joint"]), float(ll_joint),
                     rtol=2e-4, err_msg=f"{method} {s_key}/joint")
+
+
+class TestPrdFidParity:
+    """Sample-quality metric parity vs the files the reference VENDORS
+    (``experiments/prd_score/prd_score.py`` from compare_gan,
+    ``experiments/fid/fid_score.py``). Our implementations were written
+    from the papers; these tests pin them to the vendored code on the
+    deterministic paths (curve/F-beta/Frechet math exactly; the k-means
+    embedding path on well-separated blobs where every clustering
+    converges to the same partition)."""
+
+    def test_compute_prd_matches_vendored(self, ref):
+        from multivae_tpu.eval.prd import compute_prd
+
+        rng = np.random.default_rng(5)
+        e = rng.random(20)
+        e /= e.sum()
+        r = rng.random(20)
+        r /= r.sum()
+        p_ours, r_ours = compute_prd(e, r, num_angles=501)
+        p_ref, r_ref = ref.prd_score.compute_prd(e, r, num_angles=501)
+        np.testing.assert_allclose(p_ours, p_ref, atol=1e-12)
+        np.testing.assert_allclose(r_ours, r_ref, atol=1e-12)
+
+    def test_max_f_beta_pair_matches_vendored(self, ref):
+        from multivae_tpu.eval.prd import compute_prd, \
+            prd_to_max_f_beta_pair
+
+        rng = np.random.default_rng(6)
+        e = rng.random(12)
+        e /= e.sum()
+        r = rng.random(12)
+        r /= r.sum()
+        prec, rec = compute_prd(e, r)
+        ours = prd_to_max_f_beta_pair(prec, rec, beta=8.0)
+        theirs = ref.prd_score.prd_to_max_f_beta_pair(prec, rec, beta=8)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-9)
+
+    def test_embedding_path_matches_vendored_on_separated_blobs(self, ref):
+        """Two tight far-apart blobs: every 2-means clustering recovers
+        the same partition (up to a label swap compute_prd is invariant
+        to), so the stochastic clustering stage is deterministic and the
+        full embedding->PRD pipelines must agree exactly."""
+        from multivae_tpu.eval.prd import compute_prd_from_embedding
+
+        rng = np.random.default_rng(7)
+        blob_a = rng.normal(size=(80, 4)) * 0.01 + 10.0
+        blob_b = rng.normal(size=(80, 4)) * 0.01 - 10.0
+        eval_d = np.concatenate([blob_a[:56], blob_b[:24]])
+        ref_d = np.concatenate([blob_a[56:], blob_b[24:]])
+        p_ours, r_ours = compute_prd_from_embedding(
+            eval_d, ref_d, num_clusters=2, num_runs=2)
+        p_ref, r_ref = ref.prd_score.compute_prd_from_embedding(
+            eval_d, ref_d, num_clusters=2, num_runs=2)
+        np.testing.assert_allclose(p_ours, p_ref, atol=1e-9)
+        np.testing.assert_allclose(r_ours, r_ref, atol=1e-9)
+
+    def test_frechet_distance_matches_vendored(self, ref):
+        from multivae_tpu.eval.sample_quality import \
+            calculate_frechet_distance
+
+        rng = np.random.default_rng(8)
+        d = 6
+        mu1, mu2 = rng.normal(size=d), rng.normal(size=d)
+        a = rng.normal(size=(d, d))
+        b = rng.normal(size=(d, d))
+        s1 = a @ a.T + 0.1 * np.eye(d)
+        s2 = b @ b.T + 0.1 * np.eye(d)
+        ours = calculate_frechet_distance(mu1, s1, mu2, s2)
+        theirs = ref.fid_score.calculate_frechet_distance(mu1, s1, mu2, s2)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-8)
