@@ -107,6 +107,16 @@ def ref():
     mods.eval_likelihood = importlib.import_module("eval_metrics.likelihood")
     mods.prd_score = importlib.import_module("prd_score.prd_score")
     mods.fid_score = importlib.import_module("fid.fid_score")
+    # statsmodels is absent from this image; stat_utils only touches it in
+    # make_regression, so an empty stub lets the scipy-only RSA helpers
+    # (data2cmat/vec2cmat/fit_rsa) run for parity
+    if "statsmodels" not in sys.modules:
+        smod = types.ModuleType("statsmodels")
+        smod_api = types.ModuleType("statsmodels.api")
+        smod.api = smod_api
+        sys.modules["statsmodels"] = smod
+        sys.modules["statsmodels.api"] = smod_api
+    mods.stat_utils = importlib.import_module("stat_utils")
     yield mods
     sys.path.remove(REF)
 
@@ -642,3 +652,55 @@ class TestPrdFidParity:
         ours = calculate_frechet_distance(mu1, s1, mu2, s2)
         theirs = ref.fid_score.calculate_frechet_distance(mu1, s1, mu2, s2)
         np.testing.assert_allclose(ours, theirs, rtol=1e-8)
+
+
+class TestStatUtilsParity:
+    """RSA stat helpers vs the REAL ``stat_utils.py`` (statsmodels stubbed
+    empty — it is only touched by ``make_regression``, whose fixed/mixed/
+    hierarchical designs cannot run in this image and are instead verified
+    against closed forms in tests/test_stats.py)."""
+
+    def test_data2cmat_and_triu(self, ref):
+        from multivae_tpu.analysis.stats import cmat2triu, data2cmat
+
+        rng = np.random.default_rng(9)
+        x2 = rng.normal(size=(12, 5))
+        x3 = rng.normal(size=(4, 12, 5))
+        np.testing.assert_allclose(data2cmat(x2),
+                                   ref.stat_utils.data2cmat(x2))
+        np.testing.assert_allclose(data2cmat(x3),
+                                   ref.stat_utils.data2cmat(x3))
+        c = data2cmat(x2)
+        np.testing.assert_allclose(cmat2triu(c),
+                                   ref.stat_utils.cmat2triu(c))
+
+    def test_vec2cmat_both_branches(self, ref):
+        from multivae_tpu.analysis.stats import vec2cmat
+
+        rng = np.random.default_rng(10)
+        v = rng.normal(size=16)
+        np.testing.assert_allclose(vec2cmat(v),
+                                   ref.stat_utils.vec2cmat(v))
+        cat = rng.integers(0, 3, size=16)
+        np.testing.assert_array_equal(
+            vec2cmat(cat, categorical=True),
+            ref.stat_utils.vec2cmat(cat, categorical=True))
+
+    def test_fit_rsa_2d_and_range10_quirk(self, ref):
+        from multivae_tpu.analysis.stats import fit_rsa, vec2cmat, data2cmat
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(14, 6))
+        cmat = data2cmat(x)
+        ref_cmat = vec2cmat(rng.normal(size=14))
+        np.testing.assert_allclose(fit_rsa(cmat, ref_cmat),
+                                   ref.stat_utils.fit_rsa(cmat, ref_cmat))
+        # 3-D branch: the reference iterates range(10) regardless of the
+        # model count (stat_utils.py:87-92) — the quirk is part of the
+        # parity contract
+        cmats = data2cmat(rng.normal(size=(12, 14, 6)))
+        idxs = np.arange(10)
+        sub_ref = vec2cmat(rng.normal(size=10))
+        np.testing.assert_allclose(
+            fit_rsa(cmats, sub_ref, idxs=idxs),
+            ref.stat_utils.fit_rsa(cmats, sub_ref, idxs=idxs))
