@@ -64,8 +64,11 @@ def _batch_likelihoods_impl(model, params, batch, rng,
     rngs = {"sample": rng}
     latents = model.apply(variables, batch, method="inference", rngs=rngs)
     subsets = model.subsets
-    present = [m.name for m in model.modalities if m.name in batch]
-    b = batch[present[0]].shape[0]
+    # marginals/joint are estimated only for modalities the batch carries —
+    # an absent modality has no target to score (the reference driver only
+    # ever sees complete batches, estimate_likelihoods:103-144)
+    present_mods = [m for m in model.modalities if m.name in batch]
+    b = batch[present_mods[0].name].shape[0]
 
     # encoded per-modality styles (None when the modality is missing from
     # the batch or the model is unfactorized)
@@ -102,14 +105,14 @@ def _batch_likelihoods_impl(model, params, batch, rng,
             style_mu[mod.name], style_lv[mod.name] = s_mu_m, s_lv_m
             if s_mu_m is not None:
                 style_z[mod.name] = _imp_samples(
-                    jax.random.fold_in(rng_s, s_idx * 16 + i),
+                    jax.random.fold_in(jax.random.fold_in(rng_s, s_idx), i),
                     s_mu_m, s_lv_m, k)
             else:
                 style_z[mod.name] = None
 
-        # decode every modality from (style, content) for all K samples
+        # decode every present modality from (style, content), all K samples
         log_px_z = {}
-        for mod in model.modalities:
+        for mod in present_mods:
             sz = style_z[mod.name]
             flat_style = (sz.reshape(k * b, -1) if sz is not None else None)
             loc, scale = model.apply(
@@ -123,10 +126,9 @@ def _batch_likelihoods_impl(model, params, batch, rng,
         # content importance weights
         log_q_c = ops.gaussian_log_pdf(z, s_mu[None], s_lv[None])  # [K, B]
         log_p_c = ops.unit_gaussian_log_pdf(z)
-        subset_names = set(m for m in s_mods)
 
         lls = {}
-        for mod in model.modalities:
+        for mod in present_mods:
             log_w = log_px_z[mod.name] + log_p_c - log_q_c
             if mod.name in subset_names and style_z[mod.name] is not None:
                 sz = style_z[mod.name]
@@ -135,8 +137,8 @@ def _batch_likelihoods_impl(model, params, batch, rng,
                                            style_lv[mod.name][None])
             lls[mod.name] = jnp.mean(ops.log_mean_exp(log_w.T, axis=1))
 
-        # joint estimate: all modalities' likelihoods + all style terms
-        log_joint = sum(log_px_z[m.name] for m in model.modalities)
+        # joint estimate: all present modalities' likelihoods + style terms
+        log_joint = sum(log_px_z[m.name] for m in present_mods)
         log_w = log_joint + log_p_c - log_q_c
         for mod in model.modalities:
             sz = style_z[mod.name]

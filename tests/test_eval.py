@@ -119,6 +119,21 @@ class TestLikelihood:
             for v in vals.values():
                 assert np.isfinite(v)
 
+    def test_incomplete_batch_scores_present_modalities(self, small_exp):
+        """batch_likelihoods on a missing-modality batch: only subsets the
+        batch can form are returned, and each scores only the present
+        modalities (+ joint over them) — no KeyError on the absent one."""
+        exp = small_exp
+        data, _, _ = exp.dataset_test.gather(
+            exp.dataset_test.idx_per_modality_subset[-1][:8])
+        batch = {"clinical": jnp.asarray(data["clinical"])}
+        out = batch_likelihoods(exp.model, exp.params[0], batch,
+                                jax.random.PRNGKey(3), 4)
+        assert set(out) == {"clinical"}
+        assert set(out["clinical"]) == {"clinical", "joint"}
+        for v in out["clinical"].values():
+            assert np.isfinite(float(v))
+
     def test_joint_leq_sum_of_marginal_like_scale(self, small_exp):
         # joint log-likelihood should be on the order of the sum of
         # marginals (sanity of scales, not a strict bound)

@@ -149,13 +149,15 @@ def make_cfg(method):
                   batch_size=B).derive()
 
 
-def build_reference_model(ref, flags):
+def build_reference_model(ref, flags, style_dims=(S1, S2)):
     """Real VAE over the real Clinical/Rois modalities and subset powerset
     (BaseExperiment.set_subsets key scheme)."""
     from itertools import chain, combinations
 
-    clinical = ref.Clinical(D1, ref.Encoder, ref.Decoder, CD, S1, "normal")
-    rois = ref.Rois(D2, ref.Encoder, ref.Decoder, CD, S2, "normal")
+    clinical = ref.Clinical(D1, ref.Encoder, ref.Decoder, CD, style_dims[0],
+                            "normal")
+    rois = ref.Rois(D2, ref.Encoder, ref.Decoder, CD, style_dims[1],
+                    "normal")
     modalities = {"clinical": clinical, "rois": rois}
     xs = list(modalities)
     subsets = {}
@@ -170,14 +172,17 @@ def build_reference_model(ref, flags):
     return model, modalities
 
 
-def copy_weights(params, model_t):
-    """JAX param tree -> the reference model's torch parameters."""
+def copy_weights(params, model_t, style_dims=(S1, S2)):
+    """JAX param tree -> the reference model's torch parameters.
+
+    ``style_dims`` of 0 skip the style heads (the reference encoder does
+    not create them when the style dim is 0)."""
     def t(x):
         return torch.from_numpy(np.array(x))
 
     with torch.no_grad():
         for i, name in enumerate(["clinical", "rois"]):
-            s = [S1, S2][i]
+            s = style_dims[i]
             enc = model_t.encoders[name]
             p = params[f"enc_{name}"]
             enc.shared_encoder[0].weight.copy_(t(p["hidden_0"]["kernel"]).T)
@@ -188,10 +193,11 @@ def copy_weights(params, model_t):
             enc.class_mu.bias.copy_(heads_b[:CD])
             enc.class_logvar.weight.copy_(heads_w[:, CD:2 * CD].T)
             enc.class_logvar.bias.copy_(heads_b[CD:2 * CD])
-            enc.style_mu.weight.copy_(heads_w[:, 2 * CD:2 * CD + s].T)
-            enc.style_mu.bias.copy_(heads_b[2 * CD:2 * CD + s])
-            enc.style_logvar.weight.copy_(heads_w[:, 2 * CD + s:].T)
-            enc.style_logvar.bias.copy_(heads_b[2 * CD + s:])
+            if s > 0:
+                enc.style_mu.weight.copy_(heads_w[:, 2 * CD:2 * CD + s].T)
+                enc.style_mu.bias.copy_(heads_b[2 * CD:2 * CD + s])
+                enc.style_logvar.weight.copy_(heads_w[:, 2 * CD + s:].T)
+                enc.style_logvar.bias.copy_(heads_b[2 * CD + s:])
             dec = model_t.decoders[name]
             d = params[f"dec_{name}"]
             dec.out_mu.weight.copy_(t(d["out_mu"]["kernel"]).T)
@@ -461,42 +467,10 @@ class TestIWAEParity:
         flags = make_flags(method)
         flags.style_dim = [0, 0]
         flags.factorized_representation = False
-        clinical = ref.Clinical(D1, ref.Encoder, ref.Decoder, CD, 0,
-                                "normal")
-        rois = ref.Rois(D2, ref.Encoder, ref.Decoder, CD, 0, "normal")
-        modalities = {"clinical": clinical, "rois": rois}
-        from itertools import chain, combinations
-        xs = list(modalities)
-        subsets = {}
-        for mod_names in chain.from_iterable(
-                combinations(xs, n) for n in range(len(xs) + 1)):
-            subsets["_".join(sorted(mod_names))] = [
-                modalities[m] for m in sorted(mod_names)]
-        model_t = ref.VAE(flags, modalities, subsets)
-        model_t.eval()
-        model_t.reparameterize = lambda mu, logvar: mu
-
-        def t(x):
-            return torch.from_numpy(np.array(x))
-
-        with torch.no_grad():
-            for i, name in enumerate(["clinical", "rois"]):
-                enc = model_t.encoders[name]
-                p = params[f"enc_{name}"]
-                enc.shared_encoder[0].weight.copy_(
-                    t(p["hidden_0"]["kernel"]).T)
-                enc.shared_encoder[0].bias.copy_(t(p["hidden_0"]["bias"]))
-                heads_w, heads_b = t(p["heads"]["kernel"]), \
-                    t(p["heads"]["bias"])
-                enc.class_mu.weight.copy_(heads_w[:, :CD].T)
-                enc.class_mu.bias.copy_(heads_b[:CD])
-                enc.class_logvar.weight.copy_(heads_w[:, CD:].T)
-                enc.class_logvar.bias.copy_(heads_b[CD:])
-                dec = model_t.decoders[name]
-                d = params[f"dec_{name}"]
-                dec.out_mu.weight.copy_(t(d["out_mu"]["kernel"]).T)
-                dec.out_mu.bias.copy_(t(d["out_mu"]["bias"]))
-                dec.logvar.copy_(t(d["out_logvar"]))
+        model_t, modalities = build_reference_model(ref, flags,
+                                                    style_dims=(0, 0))
+        copy_weights(params, model_t, style_dims=(0, 0))
+        subsets = model_t.subsets
 
         batch_t = _RowLenDict(
             {k: torch.from_numpy(v) for k, v in batch_np.items()})
