@@ -38,7 +38,11 @@ def _subset_latents(exp, dataset, params, rng):
 
 
 def train_clf_lr_all_subsets(exp, model_idx: int = 0):
-    """Fit one probe per subset on train latents; returns {subset: clf}."""
+    """Fit one probe per subset on train latents; returns {subset: clf}.
+
+    Honors ``num_training_samples_lr`` (``representation.py:50-52``): the
+    probe trains on that many sampled-with-replacement rows when the
+    split is larger."""
     cfg = exp.cfg
     dataset = exp.dataset_train
     if cfg.num_models > 1:
@@ -46,6 +50,12 @@ def train_clf_lr_all_subsets(exp, model_idx: int = 0):
     params = exp.params[model_idx]
     feats, labels = _subset_latents(exp, dataset, params,
                                     jax.random.PRNGKey(cfg.seed + 31))
+    n_cap = getattr(cfg, "num_training_samples_lr", None)
+    if n_cap and len(labels) > n_cap:
+        sel = np.random.default_rng(cfg.seed).integers(len(labels),
+                                                       size=n_cap)
+        labels = labels[sel]
+        feats = {s: x[sel] for s, x in feats.items()}
     clfs = {}
     for s_key, x in feats.items():
         if len(np.unique(labels)) < 2:

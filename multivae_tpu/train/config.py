@@ -82,8 +82,12 @@ class Config:
 
     # data
     allow_missing_blocks: bool = True
+    # surface-parity no-op: the reference declares --data_multiplications
+    # ("number of pairs per sample", flags.py:15) but consumes it nowhere
     data_multiplications: int = 1
     data_seed: object = "defaults"
+    # surface-parity no-op: set by the reference's train_exp
+    # (workflow.py:121) and consumed nowhere upstream
     subsampled_reconstruction: bool = True
 
     # evaluation
@@ -91,7 +95,12 @@ class Config:
     calc_prd: bool = False
     eval_freq: int = 25
     eval_freq_fid: int = 100
+    # upstream num_samples_fid only gates the vestigial coherence loop
+    # (coherence.py:88,108); the working coherence here scores the full
+    # test split, so the flag is surface-parity only
     num_samples_fid: int = 10000
+    # probe-training row cap, honored by eval.representation
+    # (reference representation.py:50-52)
     num_training_samples_lr: int = 500
     save_figure: bool = False
     load_saved: bool = False
