@@ -102,6 +102,8 @@ class Config:
     # probe-training row cap, honored by eval.representation
     # (reference representation.py:50-52)
     num_training_samples_lr: int = 500
+    # upstream save_figure only feeds the vestigial image-grid plotting
+    # (plotting.py:336-448, skipped per SURVEY §2.4); surface parity only
     save_figure: bool = False
     load_saved: bool = False
 
