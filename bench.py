@@ -207,7 +207,9 @@ def _avatar_stage(jax, jnp, rng, model, params, batch, cfg, train_sps,
         best = max(best, 1.0 / (time.perf_counter() - t0))
     # avatars = decoded ROI vectors (subjects x samples x scores per sweep)
     avatars_per_sec = 50 * AVATAR_SAMPLES * DIMS[0] * best
-    return train_sps, avatars_per_sec, moe_sps
+    # report the backend that actually executed (the in-process path does
+    # not scrub the axon env, so --general-path may still run on the TPU)
+    return train_sps, avatars_per_sec, moe_sps, jax.default_backend()
 
 
 # --------------------------------------------------------------------------
@@ -332,9 +334,17 @@ def _run_jax_stage_watchdogged():
                 [sys.executable, os.path.abspath(__file__),
                  "--stage", "jax"] + extra,
                 capture_output=True, text=True, timeout=cap_s, env=env)
-        except subprocess.TimeoutExpired:
-            failures.append(f"{backend} attempt {i + 1}: no result within "
-                            f"the {cap_s:.0f}s watchdog cap (stalled)")
+        except subprocess.TimeoutExpired as exc:
+            # a hang can still be a code bug: keep the child's partial
+            # stderr as evidence, not just "stalled"
+            tail = exc.stderr or ""
+            if isinstance(tail, bytes):
+                tail = tail.decode("utf-8", "replace")
+            tail = tail.strip()[-400:]
+            failures.append(
+                f"{backend} attempt {i + 1}: no result within the "
+                f"{cap_s:.0f}s watchdog cap (stalled)"
+                + (f"; partial stderr: {tail}" if tail else ""))
             continue
         if proc.returncode != 0:
             tail = (proc.stderr or "").strip()[-600:]
@@ -368,18 +378,22 @@ def main():
                          "Pallas kernels (CPU degraded mode)")
     args = ap.parse_args()
     if args.stage == "jax":
-        train_sps, avatars_per_sec, moe_sps = bench_jax(
+        train_sps, avatars_per_sec, moe_sps, platform = bench_jax(
             general=args.general_path)
         print(json.dumps({"train_sps": train_sps,
                           "avatars_per_sec": avatars_per_sec,
-                          "moe_sps": moe_sps}))
+                          "moe_sps": moe_sps,
+                          "platform": platform}))
         return
 
     torch_sps = bench_torch()
     if args.no_watchdog:
-        backend = "cpu-general-in-process" if args.general_path \
-            else "in-process"
-        measured = (*bench_jax(general=args.general_path), backend, [])
+        t_sps, av_ps, moe, platform = bench_jax(general=args.general_path)
+        # label with the backend jax ACTUALLY used — the in-process path
+        # does not scrub the axon env, so --general-path can run on TPU
+        backend = (f"in-process-general-{platform}" if args.general_path
+                   else "in-process")
+        measured = (t_sps, av_ps, moe, backend, [])
     else:
         measured = _run_jax_stage_watchdogged()
     if measured[0] is None:
@@ -407,16 +421,20 @@ def main():
     }
     if backend not in ("tpu", "in-process"):
         result["backend"] = backend
-        note = ("degraded mode: this measures the GENERAL jitted path on "
-                "the CPU host, NOT the Pallas TPU kernels (~65k steps/s "
-                "when the relay is up — see BASELINE.md).")
         if backend == "cpu-fallback":
+            note = ("degraded mode: this measures the GENERAL jitted path "
+                    "on the CPU host, NOT the Pallas TPU kernels (~65k "
+                    "steps/s when the relay is up — see BASELINE.md).")
             if any("rc=" in f for f in failures):
                 note += (" The TPU attempts ERRORED (see tpu_failures — "
                          "likely a code regression, not an outage).")
             else:
                 note += (" The TPU attempts stalled against the relay "
                          "(outage or hard congestion).")
+        else:  # in-process-general-<platform>
+            note = (f"degraded mode: general jitted path measured "
+                    f"in-process on the '{backend.rsplit('-', 1)[-1]}' "
+                    f"backend, NOT the Pallas kernels")
         result["note"] = note
     if failures:
         result["tpu_failures"] = failures

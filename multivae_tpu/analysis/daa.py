@@ -32,6 +32,7 @@ import pandas as pd
 from numpy.lib.format import open_memmap
 
 from ..utils.colors import print_result, print_subtitle, print_text
+from ..utils.jit_cache import cached_jit
 from .stats import (
     fixed_regression_batch,
     hierarchical_regression_batch,
@@ -64,7 +65,7 @@ def full_batch(dataset, idxs):
     return {k: jnp.asarray(v) for k, v in data.items()}, metadata
 
 
-_analytic_jit_cache: Dict[int, tuple] = {}
+_analytic_jit_cache: Dict[tuple, tuple] = {}
 
 
 def analytic_reconstruction_stats(model, params, data):
@@ -76,8 +77,7 @@ def analytic_reconstruction_stats(model, params, data):
     partition). One forward pass replaces M=1000. Jitted per model (eager
     execution would pay one device round-trip per op through the relay).
     """
-    cached = _analytic_jit_cache.get(id(model))
-    if cached is None or cached[0] is not model:
+    def _build():
         def _run(params, data):
             latents = model.apply({"params": params}, data,
                                   method="inference")
@@ -92,9 +92,10 @@ def analytic_reconstruction_stats(model, params, data):
             (c_loc, c_scale), (r_loc, _) = outs
             return c_loc, c_scale, r_loc
 
-        cached = (model, jax.jit(_run))
-        _analytic_jit_cache[id(model)] = cached
-    return cached[1](params, data)
+        return jax.jit(_run)
+
+    return cached_jit(_analytic_jit_cache, model, ("analytic",),
+                      _build)(params, data)
 
 
 def reconstruction_stats(model, params, data, M: int, rng,
@@ -129,9 +130,7 @@ def reconstruction_stats(model, params, data, M: int, rng,
         if supports_fused_sweep(cfg, model, data):
             return analytic_reconstruction_stats(model, params, data)
 
-    cache_key = (id(model), "mc", int(M), int(chunk))
-    cached = _analytic_jit_cache.get(cache_key)
-    if cached is None or cached[0] is not model:
+    def _build():
         def _run(params, data, rng):
             def one(key):
                 out = model.apply({"params": params}, data,
@@ -146,9 +145,10 @@ def reconstruction_stats(model, params, data, M: int, rng,
                                              batch_size=min(chunk, M))
             return locs.mean(0), scales.mean(0), rois.mean(0)
 
-        cached = (model, jax.jit(_run))
-        _analytic_jit_cache[cache_key] = cached
-    return cached[1](params, data, rng)
+        return jax.jit(_run)
+
+    return cached_jit(_analytic_jit_cache, model,
+                      ("mc", int(M), int(chunk)), _build)(params, data, rng)
 
 
 def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
@@ -171,9 +171,7 @@ def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
             return fused_avatar_sweep(model, params, data, scores_values,
                                       sample_latents, rng, cfg,
                                       interpret=interpret)
-    cache_key = (id(model), "sweep", bool(sample_latents), int(chunk))
-    cached = _analytic_jit_cache.get(cache_key)
-    if cached is None or cached[0] is not model:
+    def _build():
         names = [m.name for m in model.modalities]
 
         def _run(params, clinical, other, scores_values, rng):
@@ -202,11 +200,13 @@ def avatar_sweep(model, params, data, scores_values, sample_latents: bool,
             rois = rois.reshape(n_samples, n_scores, b, -1)
             return jnp.transpose(rois, (2, 1, 0, 3))
 
-        cached = (model, jax.jit(_run))
-        _analytic_jit_cache[cache_key] = cached
-    return cached[1](params, jnp.asarray(data["clinical"]),
-                     jnp.asarray(data["rois"]),
-                     jnp.asarray(scores_values), rng)
+        return jax.jit(_run)
+
+    fn = cached_jit(_analytic_jit_cache, model,
+                    ("sweep", bool(sample_latents), int(chunk)), _build)
+    return fn(params, jnp.asarray(data["clinical"]),
+              jnp.asarray(data["rois"]),
+              jnp.asarray(scores_values), rng)
 
 
 def avatar_sweep_sharded(model, params, data, scores_values,

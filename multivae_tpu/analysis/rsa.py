@@ -15,10 +15,16 @@ import numpy as np
 import pandas as pd
 
 from ..utils.colors import print_result, print_subtitle
+from ..utils.jit_cache import cached_jit
 from .daa import complete_indices, full_batch
 from .stats import data2cmat, fit_rsa, vec2cmat
 
 LATENT_NAMES = ["joint", "clinical_rois", "clinical_style", "rois_style"]
+
+# jitted inference per (model, sample_latents) — RSA only consumes the
+# latents, so tracing the full forward would decode reconstructions per
+# round just to throw them away
+_RSA_JIT_CACHE = {}
 
 
 def run_rsa(experiment, cfg, datasetdir: str, rsadir: str,
@@ -38,7 +44,6 @@ def run_rsa(experiment, cfg, datasetdir: str, rsadir: str,
     latent_dis, scores_dis = [], []
     np_rng = np.random.default_rng(seed)
     base_key = jax.random.PRNGKey(seed)
-    _jit_apply = None  # shared: experiment.model is one module, params vary
 
     for model_idx in range(n_models):
         testset = experiment.dataset_test
@@ -55,12 +60,12 @@ def run_rsa(experiment, cfg, datasetdir: str, rsadir: str,
                                 replace=False)
             data, metadata = full_batch(testset, sel)
             key = jax.random.fold_in(base_key, 7000 * model_idx + val_idx)
-            if _jit_apply is None:  # one dispatch per round, not per op
-                _jit_apply = jax.jit(lambda p, d, r: model.apply(
-                    {"params": p}, d, sample_latents=sample_latents,
-                    rngs={"sample": r}))
-            out = _jit_apply(params, data, key)
-            latents_all = out["latents"]
+            infer = cached_jit(
+                _RSA_JIT_CACHE, model, (bool(sample_latents),),
+                lambda: jax.jit(lambda p, d, r: model.apply(
+                    {"params": p}, d, method="inference",
+                    sample=sample_latents, rngs={"sample": r})))
+            latents_all = infer(params, data, key)
             for latent_idx, latent_name in enumerate(LATENT_NAMES):
                 if latent_name == "joint":
                     lat = latents_all["joint"]

@@ -95,3 +95,20 @@ def test_child_error_recorded_with_stderr_tail(monkeypatch, capsys):
     assert all("rc=1" in f and "kernel broke" in f for f in failures)
     # the child's stderr tail is surfaced on the parent's stderr too
     assert "kernel broke" in capsys.readouterr().err
+
+
+def test_timeout_partial_stderr_is_kept(monkeypatch):
+    """A hanging child's captured stderr is evidence (a deadlocked code
+    bug looks like a stall); the failure entry must carry its tail."""
+    def fake_run(cmd, capture_output, text, timeout, env=None):
+        if "--general-path" not in cmd:
+            exc = subprocess.TimeoutExpired(cmd, timeout)
+            exc.stderr = "connecting to relay...\nRuntimeError: wedged"
+            raise exc
+        return _Proc(json.dumps({"train_sps": 1.0, "avatars_per_sec": 2.0,
+                                 "moe_sps": None}) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench._run_jax_stage_watchdogged()
+    assert out[3] == "cpu-fallback"
+    assert all("partial stderr" in f and "wedged" in f for f in out[4])
