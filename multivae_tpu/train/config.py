@@ -95,9 +95,10 @@ class Config:
     calc_prd: bool = False
     eval_freq: int = 25
     eval_freq_fid: int = 100
-    # upstream num_samples_fid only gates the vestigial coherence loop
-    # (coherence.py:88,108); the working coherence here scores the full
-    # test split, so the flag is surface-parity only
+    # upstream num_samples_fid only caps how many generated samples the
+    # vestigial coherence loop SAVES for FID (coherence.py:88,108); the
+    # working sample dumps here take an explicit num_samples argument, so
+    # the flag is surface-parity only
     num_samples_fid: int = 10000
     # probe-training row cap, honored by eval.representation
     # (reference representation.py:50-52)
