@@ -63,8 +63,26 @@ def vec2cmat(vec: np.ndarray, categorical: bool = False,
 
 def fit_rsa(cmat: np.ndarray, ref_cmat: np.ndarray,
             idxs: Optional[np.ndarray] = None):
-    """Kendall tau between matrix upper triangles (``stat_utils.py:81-95``)."""
+    """Kendall tau between matrix upper triangles (``stat_utils.py:81-95``).
+
+    The 3-D branch replicates the reference's hardcoded ``range(10)`` loop
+    (``stat_utils.py:87-92``) — bug-compatible by documented choice — but
+    guards the silent 10-round assumption: fewer rounds would IndexError
+    upstream (raised here with a clear message), extra rounds are silently
+    ignored upstream (warned about here).
+    """
     if cmat.ndim > 2:
+        if cmat.shape[0] < 10:
+            raise ValueError(
+                f"fit_rsa's 3-D path replicates the reference's hardcoded "
+                f"10-round loop (stat_utils.py:87-92) and needs "
+                f"cmat.shape[0] >= 10; got {cmat.shape[0]}")
+        if cmat.shape[0] > 10:
+            import warnings
+            warnings.warn(
+                f"fit_rsa's 3-D path uses only the first 10 of "
+                f"{cmat.shape[0]} rounds (reference range(10) quirk, "
+                f"stat_utils.py:87-92)", stacklevel=2)
         r = np.array([
             kendalltau(cmat2triu(cmat[idx][idxs, :][:, idxs]),
                        cmat2triu(ref_cmat))[0]

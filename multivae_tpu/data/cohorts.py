@@ -12,8 +12,13 @@ modalities = ["clinical", "rois"]
 def split_roi_metric(name):
     """Split a ROI feature name ``<base>_<metric>`` (e.g.
     ``G_precentral_lh_thickness`` → ``("G_precentral_lh", "thickness")``).
-    The single convention shared by the DAA/plot/univariate workflows."""
-    base, metric = str(name).rsplit("_", 1)
+    The single convention shared by the DAA/plot/univariate workflows.
+    A metric-less name (no separator) yields an empty metric instead of
+    crashing the plotting workflows."""
+    name = str(name)
+    if "_" not in name:
+        return name, ""
+    base, metric = name.rsplit("_", 1)
     return base, metric
 
 short_clinical_names = {

@@ -102,9 +102,10 @@ def plot_areas(areas: Sequence[str], colors, save_path: Optional[str] = None,
         try:
             fig = plot_areas_on_atlas(atl, areas, colors,
                                       save_path=save_path)
-        except ValueError as exc:
+        except (OSError, KeyError, ValueError) as exc:
             # a globally-set MULTIVAE_SURFACE_ATLAS may not match this
-            # cohort's ROI names; degrade instead of aborting the workflow
+            # cohort's ROI names (or carry stale/renamed arrays); degrade
+            # instead of aborting the workflow
             print_error(f"surface atlas does not cover these areas "
                         f"({exc}); using the fallback rendering")
         else:

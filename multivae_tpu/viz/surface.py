@@ -225,15 +225,30 @@ class SurfaceAtlas:
 def resolve_atlas(atlas: Union[None, str, os.PathLike, SurfaceAtlas] = None
                   ) -> Optional[SurfaceAtlas]:
     """Resolve an atlas argument: instance → itself; str/path → ``load``;
-    None → the ``MULTIVAE_SURFACE_ATLAS`` env var (when set), else None."""
+    None → the ``MULTIVAE_SURFACE_ATLAS`` env var (when set), else None.
+
+    A missing/corrupt atlas file degrades to ``None`` (with an error
+    message) instead of raising: the callers invoke this AFTER expensive
+    analysis work and every other rendering failure degrades to the
+    fallback plot, so a stale ``MULTIVAE_SURFACE_ATLAS`` must not abort a
+    whole workflow."""
     if isinstance(atlas, SurfaceAtlas):
         return atlas
+    path = ""
     if isinstance(atlas, (str, os.PathLike)) and os.fspath(atlas):
-        return SurfaceAtlas.load(atlas)
-    env = os.environ.get(ATLAS_ENV_VAR, "")
-    if env:
-        return SurfaceAtlas.load(env)
-    return None
+        path = os.fspath(atlas)
+    else:
+        path = os.environ.get(ATLAS_ENV_VAR, "")
+    if not path:
+        return None
+    try:
+        return SurfaceAtlas.load(path)
+    except Exception as exc:  # OSError / BadZipFile / KeyError / ValueError
+        from ..utils.colors import print_error
+        print_error(f"surface atlas {path!r} failed to load "
+                    f"({type(exc).__name__}: {exc}); "
+                    f"using the fallback rendering")
+        return None
 
 
 # ---------------------------------------------------------------------------

@@ -474,3 +474,14 @@ class TestCliNewFlags:
             is True
         assert Config(ensemble_parallel="auto").derive().ensemble_parallel \
             == "auto"
+
+
+class TestSplitRoiMetric:
+    def test_split_and_metricless_names(self):
+        from multivae_tpu.data.cohorts import split_roi_metric
+        assert split_roi_metric("G_precentral_lh_thickness") == (
+            "G_precentral_lh", "thickness")
+        # a metric-less ROI name degrades to an empty metric instead of
+        # crashing univariate_tests / avatar_plot_exp
+        assert split_roi_metric("precentral") == ("precentral", "")
+        assert split_roi_metric(123) == ("123", "")

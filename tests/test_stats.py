@@ -3,6 +3,7 @@ references, batched kernels vs scalar paths, ANOVA, RSA primitives."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from scipy import stats as sstats
 
 from multivae_tpu.analysis.stats import (
@@ -164,6 +165,25 @@ class TestRsaPrimitives:
     def test_cmat2triu(self):
         m = np.arange(9).reshape(3, 3)
         np.testing.assert_array_equal(cmat2triu(m), [1, 2, 5])
+
+    def test_fit_rsa_3d_guards_10_round_assumption(self):
+        """The 3-D branch keeps the reference's hardcoded range(10) loop
+        but must fail loudly below 10 rounds and warn above (the upstream
+        quirk silently drops extra rounds, stat_utils.py:87-92)."""
+        x = RNG.normal(size=(12, 6, 2))
+        idxs = np.arange(6)
+        ref_cmat = data2cmat(RNG.normal(size=(6, 2)))
+        with pytest.raises(ValueError, match="10-round"):
+            fit_rsa(data2cmat(x[:7]), ref_cmat, idxs=idxs)
+        with pytest.warns(UserWarning, match="first 10 of 12"):
+            out = fit_rsa(data2cmat(x), ref_cmat, idxs=idxs)
+        assert out.shape == (10,)
+        # exactly 10 rounds: no warning, same values as the 12-round call
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            out10 = fit_rsa(data2cmat(x[:10]), ref_cmat, idxs=idxs)
+        np.testing.assert_allclose(out10, out)
 
 
 class TestMixedRegressionBatch:

@@ -88,6 +88,22 @@ class TestResolve:
         monkeypatch.delenv(ATLAS_ENV_VAR)
         assert resolve_atlas(None) is None
 
+    def test_missing_or_corrupt_atlas_degrades_to_none(
+            self, atlas, tmp_path, monkeypatch, capsys):
+        """A stale MULTIVAE_SURFACE_ATLAS (missing file, corrupt npz, wrong
+        arrays) must degrade to None with an error message, not abort the
+        workflow after its expensive compute."""
+        monkeypatch.setenv(ATLAS_ENV_VAR, str(tmp_path / "gone.npz"))
+        assert resolve_atlas(None) is None
+        corrupt = tmp_path / "corrupt.npz"
+        corrupt.write_bytes(b"not a zip archive")
+        assert resolve_atlas(str(corrupt)) is None
+        # wrong arrays: a valid npz missing the atlas keys
+        wrong = tmp_path / "wrong.npz"
+        np.savez(wrong, foo=np.zeros(3))
+        assert resolve_atlas(str(wrong)) is None
+        assert "failed to load" in capsys.readouterr().out
+
     def test_npz_loads_without_pickle(self, atlas, tmp_path):
         """The atlas file must stay loadable with numpy's safe default
         (allow_pickle=False) so shared files are not a pickle vector."""
