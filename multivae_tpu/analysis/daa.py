@@ -22,6 +22,7 @@ TPU-first redesign of the two hot loops:
 from __future__ import annotations
 
 import os
+from functools import partial
 from types import SimpleNamespace
 from typing import Dict, Optional
 
@@ -35,10 +36,44 @@ from ..utils.colors import print_result, print_subtitle, print_text
 from ..utils.jit_cache import cached_jit
 from .stats import (
     fixed_regression_batch,
+    fixed_regression_from_stats,
     hierarchical_regression_batch,
+    hierarchical_regression_from_stats,
+    mixed_regression_from_stats,
 )
 
 SAMPLING_STRATEGIES = ("linear", "uniform", "gaussian", "likelihood")
+ARTIFACT_MODES = ("full", "stats-only")
+SUFFSTATS_FILE = "regression_suffstats.npz"
+
+
+@partial(jax.jit, static_argnames=("roundtrip_dtype",))
+def _device_suffstats(avatars, scores_values, roundtrip_dtype=None):
+    """Per-(subject, score, ROI) regression sufficient statistics, on device.
+
+    Every regression design the DAA stage supports (hierarchical / fixed /
+    mixed — ``workflow.py:448-505``) depends on the avatar tensor only
+    through ``Σ_p y``, ``Σ_p x·y`` and ``Σ_p y²`` per (subject, score, ROI)
+    cell, so ``artifact="stats-only"`` reduces the ``[B, S, P, R]`` avatars
+    to three ``[B, S, R]`` tensors on device (~2 MB/round at reference
+    scale instead of ~93 MB) and never ships the avatar tensor to the host
+    — the dominant DAA wall-clock cost on relay-attached TPU hosts.
+
+    ``avatars``: ``[B, n_scores, n_samples, R]`` (the sweep layout);
+    ``scores_values``: ``[n_samples, B, n_scores]``. ``roundtrip_dtype``
+    (e.g. ``"float16"``) first rounds the avatars through the full mode's
+    wire dtype so stats-only reproduces full-mode numbers at a matched
+    ``fetch_dtype``.
+    """
+    y = avatars.astype(jnp.float32)
+    if roundtrip_dtype is not None:
+        y = y.astype(jnp.dtype(roundtrip_dtype)).astype(jnp.float32)
+    x = jnp.transpose(scores_values.astype(jnp.float32),
+                      (1, 2, 0))                         # [B, S, P]
+    ysum = y.sum(axis=2)                                 # [B, S, R]
+    xysum = jnp.einsum("bsp,bspr->bsr", x, y)            # [B, S, R]
+    yysum = jnp.einsum("bspr,bspr->bsr", y, y)           # [B, S, R]
+    return ysum, xysum, yysum
 
 
 def params_namespace(n_validation, n_subjects, M, n_samples, reg_method,
@@ -342,7 +377,7 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
             reg_method: str = "hierarchical", sample_latents: bool = True,
             vote_prop: float = 1.0, chunk: int = 16,
             use_sharding="auto", exact_reconstruction="auto",
-            fetch_dtype: str = "float16") -> str:
+            fetch_dtype: str = "float16", artifact: str = "full") -> str:
     """Full DAA pipeline; returns the result directory.
 
     ``use_sharding``: shard the avatar perturbation grid over the device
@@ -362,10 +397,23 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
     next round's dispatch so compute and transfer overlap where the
     platform allows (note: ``copy_to_host_async`` is a no-op through the
     axon relay, so there the win is the halved bytes; on directly-attached
-    hosts the overlap is real)."""
+    hosts the overlap is real).
+    ``artifact``: ``"full"`` (default) writes the reference's
+    ``rois_digital_avatars.npy`` memmap; ``"stats-only"`` reduces each
+    round to the per-(subject, score, ROI) regression sufficient
+    statistics on device and never fetches the avatar tensor — the
+    regression/voting outputs (``pvalues.npy``/``coefs.npy``/
+    ``all_coefs.npy``/``significant_rois.tsv``) are unchanged to
+    float tolerance (the only difference is the f32-on-device vs
+    f64-on-host level-1 reduction) and the downstream ``anova`` /
+    ``daa-robustness`` workflows still work; only ``daa-analysis``
+    (avatar scatter plots) needs ``"full"``."""
     if sampling_strategy not in SAMPLING_STRATEGIES:
         raise ValueError("sampling_strategy must be either linear, uniform"
                          "gaussian or likelihood")
+    if artifact not in ARTIFACT_MODES:
+        raise ValueError(f"artifact must be one of {ARTIFACT_MODES}, "
+                         f"got: {artifact}")
     if isinstance(use_sharding, str):
         use_sharding = (len(jax.devices()) > 1 if use_sharding == "auto"
                         else use_sharding.lower() in ("true", "1", "yes"))
@@ -402,14 +450,23 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                 else experiment.dataset_test[0])
     n_subjects = min(n_subjects, len(complete_indices(testset0)))
 
-    da_file = os.path.join(resdir, "rois_digital_avatars.npy")
-    shape = (n_models, n_validation, n_subjects, n_scores, n_samples, n_rois)
-    if n_models == 1:
-        shape = shape[1:]
-    rois_digital_avatars = open_memmap(da_file, dtype="float32", mode="w+",
-                                       shape=shape)
+    stats_only = artifact == "stats-only"
+    rois_digital_avatars = None
+    if not stats_only:
+        da_file = os.path.join(resdir, "rois_digital_avatars.npy")
+        shape = (n_models, n_validation, n_subjects, n_scores, n_samples,
+                 n_rois)
+        if n_models == 1:
+            shape = shape[1:]
+        rois_digital_avatars = open_memmap(da_file, dtype="float32",
+                                           mode="w+", shape=shape)
+    else:
+        print_text("artifact=stats-only: reducing each round to regression "
+                   "sufficient statistics on device (daa-analysis needs "
+                   "artifact=full; anova/daa-robustness are unaffected)")
 
     all_sampled_scores, all_metadatas, all_rois_reconstructions = [], [], []
+    all_suffstats = []  # per model: list of per-round (ysum, xysum, yysum)
     metadata_columns = None
     pending = None  # (model_idx, val_idx, device avatars) awaiting fetch
 
@@ -437,6 +494,7 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
 
         test_complete = complete_indices(testset)
         sampled_scores, metadatas, rois_recs = [], [], []
+        suffstats_rounds = []
         for val_idx in range(n_validation):
             print_text(f"validation round {val_idx + 1}/{n_validation}")
             sel = np_rng.choice(test_complete, size=n_subjects,
@@ -469,24 +527,37 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                 avatars = avatar_sweep(model, params, data, scores_values,
                                        sample_latents, k_sweep, chunk=chunk,
                                        cfg=cfg)
-            if fetch_dtype != "float32":
-                # halve the device->host bytes; widened to f32 on write
-                avatars = avatars.astype(jnp.dtype(fetch_dtype))
-            try:
-                # start the transfer now; it overlaps the next round's
-                # dispatch and the blocking np.asarray below drains it
-                avatars.copy_to_host_async()
-            except Exception:
-                pass  # backend without async host copies
-            if pending is not None:
-                _drain_pending(rois_digital_avatars, pending, n_models)
-            pending = (model_idx, val_idx, avatars)
+            if stats_only:
+                # reduce on device; only three [B, S, R] tensors cross the
+                # wire. The wire-dtype roundtrip keeps stats-only numbers
+                # matched to a full-mode run at the same fetch_dtype.
+                rt = None if fetch_dtype == "float32" else fetch_dtype
+                ysum, xysum, yysum = _device_suffstats(
+                    avatars, jnp.asarray(scores_values),
+                    roundtrip_dtype=rt)
+                suffstats_rounds.append((np.asarray(ysum),
+                                         np.asarray(xysum),
+                                         np.asarray(yysum)))
+            else:
+                if fetch_dtype != "float32":
+                    # halve the device->host bytes; widened to f32 on write
+                    avatars = avatars.astype(jnp.dtype(fetch_dtype))
+                try:
+                    # start the transfer now; it overlaps the next round's
+                    # dispatch and the blocking np.asarray below drains it
+                    avatars.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async host copies
+                if pending is not None:
+                    _drain_pending(rois_digital_avatars, pending, n_models)
+                pending = (model_idx, val_idx, avatars)
             # stored layout: [B, n_samples, n_scores] (workflow.py:420-422)
             sampled_scores.append(
                 np.swapaxes(np.asarray(scores_values), 0, 1))
         all_sampled_scores.append(sampled_scores)
         all_metadatas.append(metadatas)
         all_rois_reconstructions.append(rois_recs)
+        all_suffstats.append(suffstats_rounds)
 
     if pending is not None:
         _drain_pending(rois_digital_avatars, pending, n_models)
@@ -496,8 +567,18 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
         all_rois_reconstructions = all_rois_reconstructions[0]
     all_sampled_scores = np.asarray(all_sampled_scores)
     all_rois_reconstructions = np.asarray(all_rois_reconstructions)
-    rois_digital_avatars.flush()
-    del rois_digital_avatars
+    if stats_only:
+        # [(n_models,) n_validation, B, S, R] per statistic
+        stat_names = ("ysum", "xysum", "yysum")
+        stacked = {name: np.asarray([[rnd[i] for rnd in rounds]
+                                     for rounds in all_suffstats])
+                   for i, name in enumerate(stat_names)}
+        if n_models == 1:
+            stacked = {k: v[0] for k, v in stacked.items()}
+        np.savez(os.path.join(resdir, SUFFSTATS_FILE), **stacked)
+    else:
+        rois_digital_avatars.flush()
+        del rois_digital_avatars
     np.save(os.path.join(resdir, "sampled_scores.npy"), all_sampled_scores)
     np.save(os.path.join(resdir, "metadatas.npy"),
             np.asarray(all_metadatas, dtype=object))
@@ -521,14 +602,25 @@ def compute_significativity(resdir: str, cfg, clinical_names, rois_names,
     n_validation = params_ns.n_validation
     n_samples = params_ns.n_samples
 
-    rois_da = np.load(os.path.join(resdir, "rois_digital_avatars.npy"),
-                      mmap_mode="r")
+    da_file = os.path.join(resdir, "rois_digital_avatars.npy")
+    suff_file = os.path.join(resdir, SUFFSTATS_FILE)
+    rois_da = suffstats = None
+    if os.path.exists(da_file):
+        rois_da = np.load(da_file, mmap_mode="r")
+    else:
+        # stats-only run: finish the regressions from the device-reduced
+        # sufficient statistics (the avatar tensor was never materialized)
+        with np.load(suff_file) as fh:
+            suffstats = {k: fh[k] for k in ("ysum", "xysum", "yysum")}
     all_sampled_scores = np.load(os.path.join(resdir, "sampled_scores.npy"))
     all_metadatas = np.load(os.path.join(resdir, "metadatas.npy"),
                             allow_pickle=True)
     all_rois_recs = np.load(os.path.join(resdir, "rois_reconstructions.npy"))
     if n_models == 1:
-        rois_da = rois_da[np.newaxis]
+        if rois_da is not None:
+            rois_da = rois_da[np.newaxis]
+        else:
+            suffstats = {k: v[np.newaxis] for k, v in suffstats.items()}
         all_sampled_scores = all_sampled_scores[np.newaxis]
         all_metadatas = all_metadatas[np.newaxis]
         all_rois_recs = all_rois_recs[np.newaxis]
@@ -546,16 +638,27 @@ def compute_significativity(resdir: str, cfg, clinical_names, rois_names,
     for model_idx in range(n_models):
         all_coefs.append([])
         for val_idx in range(n_validation):
-            avatars = np.asarray(rois_da[model_idx, val_idx])
+            avatars = (np.asarray(rois_da[model_idx, val_idx])
+                       if rois_da is not None else None)
             scores_values = all_sampled_scores[model_idx, val_idx]
             metadata = all_metadatas[model_idx][val_idx]
             rois_rec = all_rois_recs[model_idx, val_idx]
             all_coefs[model_idx].append([])
             for score_idx in range(n_scores):
                 x = scores_values[:, :, score_idx]          # [B, P]
-                y = avatars[:, score_idx, :, :]             # [B, P, R]
+                if avatars is not None:
+                    y = avatars[:, score_idx, :, :]         # [B, P, R]
+                else:
+                    ss = {k: v[model_idx, val_idx, :, score_idx]
+                          for k, v in suffstats.items()}    # each [B, R]
                 if reg_method == "hierarchical":
-                    pvals, cfs, betas = hierarchical_regression_batch(x, y)
+                    if avatars is not None:
+                        pvals, cfs, betas = \
+                            hierarchical_regression_batch(x, y)
+                    else:
+                        pvals, cfs, betas = \
+                            hierarchical_regression_from_stats(
+                                x, ss["ysum"], ss["xysum"])
                     # per-score record: participant_id, site, per-roi betas
                     # (contract consumed by the ANOVA workflow,
                     # workflow.py:628-637)
@@ -564,11 +667,22 @@ def compute_significativity(resdir: str, cfg, clinical_names, rois_names,
                         betas.astype(object)], axis=1)
                     all_coefs[model_idx][val_idx].append(rec)
                 elif reg_method == "fixed":
-                    diff = (y - rois_rec[:, None, :]).reshape(-1, n_rois)
-                    pvals, cfs = fixed_regression_batch(x.reshape(-1), diff)
+                    if avatars is not None:
+                        diff = (y - rois_rec[:, None, :]).reshape(-1,
+                                                                  n_rois)
+                        pvals, cfs = fixed_regression_batch(
+                            x.reshape(-1), diff)
+                    else:
+                        pvals, cfs = fixed_regression_from_stats(
+                            x, ss["ysum"], ss["xysum"], ss["yysum"],
+                            offset_g=rois_rec)
                 else:  # mixed — REML, all rois profiled together
-                    from .stats import mixed_regression_batch
-                    pvals, cfs = mixed_regression_batch(x, y)
+                    if avatars is not None:
+                        from .stats import mixed_regression_batch
+                        pvals, cfs = mixed_regression_batch(x, y)
+                    else:
+                        pvals, cfs = mixed_regression_from_stats(
+                            x, ss["ysum"], ss["xysum"], ss["yysum"])
                 pvalues[model_idx, val_idx, score_idx] = pvals
                 coefs[model_idx, val_idx, score_idx] = cfs
 

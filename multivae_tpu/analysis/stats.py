@@ -247,6 +247,73 @@ def hierarchical_regression_batch(x: np.ndarray, y: np.ndarray):
     return pvals, coefs, betas
 
 
+def hierarchical_regression_from_stats(x: np.ndarray, ysum_g: np.ndarray,
+                                       xysum_g: np.ndarray):
+    """Two-level regression from per-group sufficient statistics.
+
+    Level-1 per-group OLS slopes need only ``Σ_n y`` and ``Σ_n x·y`` per
+    group (``slope_g = (Σxy − x̄·Σy) / Sxx``); the DAA stats-only mode
+    ships those ``[G, R]`` tensors from device instead of the full avatar
+    tensor. ``x``: ``[G, N]`` exact host-side regressor. Returns
+    ``(pvalues [R], coefs [R], betas [G, R])`` exactly like
+    :func:`hierarchical_regression_batch` (level 2 is unchanged).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    ysum_g = np.asarray(ysum_g, dtype=np.float64)
+    xysum_g = np.asarray(xysum_g, dtype=np.float64)
+    xmean = x.mean(axis=1)                                # [G]
+    sxx = np.sum((x - xmean[:, None]) ** 2, axis=1)       # [G]
+    betas = (xysum_g - xmean[:, None] * ysum_g) / sxx[:, None]
+    g = betas.shape[0]
+    coefs = betas.mean(axis=0)
+    se = betas.std(axis=0, ddof=1) / np.sqrt(g)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(se > 0, coefs / se, np.inf)
+    pvals = 2.0 * stats.t.sf(np.abs(t), g - 1)
+    return pvals, coefs, betas
+
+
+def fixed_regression_from_stats(x: np.ndarray, ysum_g: np.ndarray,
+                                xysum_g: np.ndarray, yysum_g: np.ndarray,
+                                offset_g: Optional[np.ndarray] = None):
+    """Pooled OLS (slope + intercept) from per-group sufficient statistics.
+
+    Matches :func:`fixed_regression_batch` run on the flattened
+    ``[G·N]`` observations ``y − offset`` (the DAA fixed design subtracts
+    the per-subject reconstruction, ``workflow.py:476-481``), using only
+    ``Σ_n y``, ``Σ_n x·y`` and ``Σ_n y²`` per group plus the exact
+    host-side ``x``. Returns ``(pvalues [R], coefs [R])``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    ysum_g = np.asarray(ysum_g, dtype=np.float64)
+    xysum_g = np.asarray(xysum_g, dtype=np.float64)
+    yysum_g = np.asarray(yysum_g, dtype=np.float64)
+    g, n_per = x.shape
+    n = g * n_per
+    sx_g = x.sum(axis=1)                                  # [G]
+    if offset_g is not None:
+        off = np.asarray(offset_g, dtype=np.float64)      # [G, R]
+        yysum_g = yysum_g - 2.0 * off * ysum_g + n_per * off ** 2
+        xysum_g = xysum_g - off * sx_g[:, None]
+        ysum_g = ysum_g - n_per * off
+    sx = sx_g.sum()
+    sxx_raw = np.sum(x * x)
+    sy = ysum_g.sum(axis=0)                               # [R]
+    sxy_raw = xysum_g.sum(axis=0)                         # [R]
+    syy_raw = yysum_g.sum(axis=0)                         # [R]
+    sxx = sxx_raw - sx * sx / n
+    sxy = sxy_raw - sx * sy / n
+    syy = syy_raw - sy * sy / n
+    slope = sxy / sxx
+    ss_res = np.maximum(syy - slope * sxy, 0.0)
+    sigma2 = ss_res / (n - 2)
+    se = np.sqrt(sigma2 / sxx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(se > 0, slope / se, np.inf)
+    pvals = 2.0 * stats.t.sf(np.abs(t), n - 2)
+    return pvals, slope
+
+
 def mixed_regression_batch(x: np.ndarray, y: np.ndarray,
                            n_grid: int = 61, n_refine: int = 3):
     """Vectorized random-intercept REML across all ROIs at once.
@@ -265,23 +332,44 @@ def mixed_regression_batch(x: np.ndarray, y: np.ndarray,
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    ysum_g = y.sum(axis=1)                                # [G, R]
+    xysum_g = np.einsum("gn,gnr->gr", x, y)               # [G, R]
+    yysum_g = np.einsum("gnr,gnr->gr", y, y)              # [G, R]
+    return mixed_regression_from_stats(x, ysum_g, xysum_g, yysum_g,
+                                       n_grid=n_grid, n_refine=n_refine)
+
+
+def mixed_regression_from_stats(x: np.ndarray, ysum_g: np.ndarray,
+                                xysum_g: np.ndarray, yysum_g: np.ndarray,
+                                n_grid: int = 61, n_refine: int = 3):
+    """Random-intercept REML from per-group sufficient statistics.
+
+    The REML objective for the balanced random-intercept model depends on
+    ``y`` only through ``Σ_n y``, ``Σ_n x·y`` and ``Σ_n y²`` per group, so
+    the DAA stats-only mode computes those three ``[G, R]`` tensors on
+    device and never materializes the avatar tensor on the host.
+    ``x``: ``[G, N]`` (exact, host-side). Returns ``(pvalues, coefs)``.
+    """
+    x = np.asarray(x, dtype=np.float64)
     g, n_per = x.shape
-    r = y.shape[2]
+    r = ysum_g.shape[1]
     n = g * n_per
     p = 2
 
-    # per-group sufficient statistics (shared across lam candidates)
+    # group-level sufficient statistics (shared across lam candidates)
     ones = np.ones_like(x)
     Xg = np.stack([ones, x], axis=2)                      # [G, N, 2]
     si = Xg.sum(axis=1)                                   # [G, 2]
     xtx_g = np.einsum("gnk,gnl->gkl", Xg, Xg)             # [G, 2, 2]
     xtx = xtx_g.sum(axis=0)                               # [2, 2]
     ssi = np.einsum("gk,gl->kl", si, si)                  # [2, 2]
-    xty_g = np.einsum("gnk,gnr->gkr", Xg, y)              # [G, 2, R]
+    xty_g = np.stack([np.asarray(ysum_g, dtype=np.float64),
+                      np.asarray(xysum_g, dtype=np.float64)],
+                     axis=1)                              # [G, 2, R]
     xty = xty_g.sum(axis=0)                               # [2, R]
-    ysum = y.sum(axis=1)                                  # [G, R]
+    ysum = np.asarray(ysum_g, dtype=np.float64)           # [G, R]
     s_ysum = np.einsum("gk,gr->kr", si, ysum)             # [2, R]
-    yy = np.einsum("gnr,gnr->r", y, y)                    # [R]
+    yy = np.asarray(yysum_g, dtype=np.float64).sum(axis=0)  # [R]
 
     def reml(lam, idx=None):
         """Objective for ROIs ``idx`` (all when None) at a shared lam,

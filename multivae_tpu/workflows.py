@@ -160,7 +160,7 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
             trust_level=0.75, seed=1037, reg_method="hierarchical",
             sample_latents=True, vote_prop=1, chunk=16,
             use_sharding="auto", exact_reconstruction="auto",
-            fetch_dtype="float16"):
+            fetch_dtype="float16", artifact="full"):
     """Digital avatars analysis (``workflow.py:185-539``): perturb one
     clinical score at a time, decode ROI avatars, regress avatar on score per
     ROI and vote Bonferroni-significant associations.
@@ -170,7 +170,11 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
     the reference's Monte-Carlo M-pass reconstruction average instead of
     its closed form; ``fetch_dtype`` is the device->host wire dtype for the
     avatar tensor (float16 halves the dominant transfer; float32 forces an
-    exact fetch — the on-disk artifact is float32 either way)."""
+    exact fetch — the on-disk artifact is float32 either way);
+    ``artifact=stats-only`` skips the avatar artifact entirely and reduces
+    each round to device-side regression sufficient statistics (same
+    pvalues/coefs/significant ROIs to float tolerance; ``daa-analysis``
+    needs ``full``, ``anova``/``daa-robustness`` work either way)."""
     from .analysis.daa import run_daa
 
     print_title(f"DIGITAL AVATARS ANALYSIS: {dataset}")
@@ -188,7 +192,7 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
                      sample_latents=sample_latents, vote_prop=vote_prop,
                      chunk=chunk, use_sharding=use_sharding,
                      exact_reconstruction=exact_reconstruction,
-                     fetch_dtype=fetch_dtype)
+                     fetch_dtype=fetch_dtype, artifact=artifact)
     return resdir
 
 

@@ -291,6 +291,68 @@ class TestDaaVariants:
             wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
                        outdir=outdir, run=run, sampling_strategy="bogus")
 
+    def test_bad_artifact_raises(self, pipeline):
+        datasetdir, outdir, run, _, _ = pipeline
+        with pytest.raises(ValueError):
+            wf.daa_exp(dataset="synthetic", datasetdir=datasetdir,
+                       outdir=outdir, run=run, artifact="bogus")
+
+    @pytest.mark.parametrize("reg_method", ["hierarchical", "fixed",
+                                            "mixed"])
+    def test_stats_only_equivalence(self, pipeline, tmp_path, reg_method):
+        """artifact=stats-only never materializes the avatar tensor yet
+        reproduces full-mode regression outputs: identical significance
+        set, pvalues/coefs equal up to the f32-on-device vs f64-on-host
+        level-1 reduction (the avatar values themselves are matched
+        exactly through the wire-dtype roundtrip)."""
+        from multivae_tpu.analysis.daa import SUFFSTATS_FILE, run_daa
+        from multivae_tpu.workflows import _load_trained
+
+        datasetdir, outdir, run, _, _ = pipeline
+        experiment, cfg = _load_trained(outdir, run)
+        kw = dict(DAA_KW)
+        kw.update(n_validation=2, n_samples=12, n_subjects=10, M=4,
+                  reg_method=reg_method)
+        r_full = run_daa(experiment, cfg, datasetdir,
+                         str(tmp_path / f"full_{reg_method}"),
+                         artifact="full", **kw)
+        r_stats = run_daa(experiment, cfg, datasetdir,
+                          str(tmp_path / f"stats_{reg_method}"),
+                          artifact="stats-only", **kw)
+        assert not os.path.isfile(
+            os.path.join(r_stats, "rois_digital_avatars.npy"))
+        assert os.path.isfile(os.path.join(r_stats, SUFFSTATS_FILE))
+        pv_f = np.load(os.path.join(r_full, "pvalues.npy"))
+        pv_s = np.load(os.path.join(r_stats, "pvalues.npy"))
+        cf_f = np.load(os.path.join(r_full, "coefs.npy"))
+        cf_s = np.load(os.path.join(r_stats, "coefs.npy"))
+        np.testing.assert_allclose(cf_s, cf_f, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(pv_s, pv_f, atol=2e-4)
+        sig_f = pd.read_table(os.path.join(r_full, "significant_rois.tsv"))
+        sig_s = pd.read_table(os.path.join(r_stats, "significant_rois.tsv"))
+        pd.testing.assert_frame_equal(sig_s, sig_f)
+        if reg_method == "hierarchical":
+            # the per-subject betas feed the ANOVA workflow; both modes
+            # must produce them, and the site-effect ANOVA must run on the
+            # stats-only artifact set
+            from multivae_tpu.analysis.anova import run_anova
+            ac_f = np.load(os.path.join(r_full, "all_coefs.npy"),
+                           allow_pickle=True)
+            ac_s = np.load(os.path.join(r_stats, "all_coefs.npy"),
+                           allow_pickle=True)
+            b_f = np.asarray(ac_f[0][0])[:, 2:].astype(float)
+            b_s = np.asarray(ac_s[0][0])[:, 2:].astype(float)
+            np.testing.assert_allclose(b_s, b_f, rtol=1e-3, atol=1e-6)
+            clinical_names = np.load(
+                os.path.join(datasetdir, "clinical_names.npy"),
+                allow_pickle=True)
+            rois_names = np.load(
+                os.path.join(datasetdir, "rois_names.npy"),
+                allow_pickle=True)
+            pv = run_anova(r_stats, clinical_names, rois_names,
+                           cfg.num_models, kw["n_validation"])
+            assert np.all((pv >= 0) & (pv <= 1))
+
 
 class TestEuaimsCohortName:
     def test_euaims_contract(self, tmp_path):

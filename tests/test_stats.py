@@ -228,3 +228,80 @@ class TestMixedRegressionBatch:
         assert (pv[:2] < 1e-10).all()
         assert (pv[2:] > 1e-4).all()
         np.testing.assert_allclose(cf[:2], 1.0, atol=0.1)
+
+
+class TestFromStatsFinishers:
+    """The stats-only DAA mode finishes regressions from per-group
+    sufficient statistics (Σy, Σxy, Σy² per subject/ROI); each finisher
+    must match its full-tensor batch kernel."""
+
+    @staticmethod
+    def _suffstats(x, y):
+        ysum = y.sum(axis=1)
+        xysum = np.einsum("gn,gnr->gr", x, y)
+        yysum = np.einsum("gnr,gnr->gr", y, y)
+        return ysum, xysum, yysum
+
+    def test_hierarchical_from_stats_matches_batch(self):
+        from multivae_tpu.analysis.stats import (
+            hierarchical_regression_batch, hierarchical_regression_from_stats)
+
+        rng = np.random.default_rng(7)
+        g, n, r = 15, 12, 9
+        x = rng.normal(size=(g, n))
+        y = x[:, :, None] * 0.4 + rng.normal(size=(g, n, r))
+        ysum, xysum, _ = self._suffstats(x, y)
+        pv_s, cf_s, b_s = hierarchical_regression_from_stats(x, ysum, xysum)
+        pv_b, cf_b, b_b = hierarchical_regression_batch(x, y)
+        np.testing.assert_allclose(b_s, b_b, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(cf_s, cf_b, rtol=1e-10)
+        np.testing.assert_allclose(pv_s, pv_b, rtol=1e-8)
+
+    def test_fixed_from_stats_matches_batch_with_offset(self):
+        from multivae_tpu.analysis.stats import (
+            fixed_regression_batch, fixed_regression_from_stats)
+
+        rng = np.random.default_rng(8)
+        g, n, r = 10, 14, 6
+        x = rng.normal(size=(g, n))
+        y = x[:, :, None] * 0.3 + rng.normal(size=(g, n, r))
+        rec = rng.normal(size=(g, r))  # per-subject reconstruction offset
+        ysum, xysum, yysum = self._suffstats(x, y)
+        pv_s, cf_s = fixed_regression_from_stats(x, ysum, xysum, yysum,
+                                                 offset_g=rec)
+        diff = (y - rec[:, None, :]).reshape(-1, r)
+        pv_b, cf_b = fixed_regression_batch(x.reshape(-1), diff)
+        np.testing.assert_allclose(cf_s, cf_b, rtol=1e-9)
+        np.testing.assert_allclose(pv_s, pv_b, rtol=1e-7, atol=1e-12)
+
+    def test_fixed_from_stats_no_offset(self):
+        from multivae_tpu.analysis.stats import (
+            fixed_regression_batch, fixed_regression_from_stats)
+
+        rng = np.random.default_rng(9)
+        g, n, r = 8, 10, 5
+        x = rng.normal(size=(g, n))
+        y = rng.normal(size=(g, n, r))
+        ysum, xysum, yysum = self._suffstats(x, y)
+        pv_s, cf_s = fixed_regression_from_stats(x, ysum, xysum, yysum)
+        pv_b, cf_b = fixed_regression_batch(x.reshape(-1),
+                                            y.reshape(-1, r))
+        np.testing.assert_allclose(cf_s, cf_b, rtol=1e-9)
+        np.testing.assert_allclose(pv_s, pv_b, rtol=1e-7, atol=1e-12)
+
+    def test_mixed_from_stats_is_the_batch_path(self):
+        """mixed_regression_batch routes through the from-stats core, so a
+        direct from-stats call with exact statistics is identical."""
+        from multivae_tpu.analysis.stats import (
+            mixed_regression_batch, mixed_regression_from_stats)
+
+        rng = np.random.default_rng(10)
+        g, n, r = 12, 10, 7
+        x = rng.normal(size=(g, n))
+        y = (x[:, :, None] * 0.5 + rng.normal(size=(g, 1, r)) * 0.6
+             + rng.normal(size=(g, n, r)) * 0.4)
+        ysum, xysum, yysum = self._suffstats(x, y)
+        pv_s, cf_s = mixed_regression_from_stats(x, ysum, xysum, yysum)
+        pv_b, cf_b = mixed_regression_batch(x, y)
+        np.testing.assert_allclose(cf_s, cf_b, rtol=1e-12)
+        np.testing.assert_allclose(pv_s, pv_b, rtol=1e-12, atol=1e-300)
