@@ -34,15 +34,18 @@ def train_modality_classifiers(exp, model_idx: int = 0):
             for m, x in data.items()}
 
 
-def test_generation(exp, model_idx: int = 0) -> Dict[str, Dict[str, float]]:
+def test_generation(exp, model_idx: int = 0,
+                    clfs=None) -> Dict[str, Dict[str, float]]:
     """Coherence of conditional generations
     (``coherence.py:test_generation`` semantics, made functional).
 
     For each subset posterior, decode every modality and measure how often
     the modality classifier recovers the true label of the conditioning
-    sample. Returns ``{subset: {modality: accuracy}}``.
+    sample. Returns ``{subset: {modality: accuracy}}``. ``clfs`` reuses
+    already-trained modality classifiers (one fit per cadence hit).
     """
-    clfs = train_modality_classifiers(exp, model_idx)
+    if clfs is None:
+        clfs = train_modality_classifiers(exp, model_idx)
     if clfs is None:
         return {}
     cfg = exp.cfg
@@ -62,13 +65,37 @@ def test_generation(exp, model_idx: int = 0) -> Dict[str, Dict[str, float]]:
 
 
 def calculate_coherence(exp, samples: Dict[str, np.ndarray],
-                        model_idx: int = 0) -> float:
+                        model_idx: int = 0, clfs=None) -> float:
     """Joint coherence of unconditional generations
     (``coherence.py:calculate_coherence``): fraction of samples where every
     modality classifier agrees on the label."""
-    clfs = train_modality_classifiers(exp, model_idx)
+    if clfs is None:
+        clfs = train_modality_classifiers(exp, model_idx)
     if clfs is None:
         return float("nan")
     preds = np.stack([clfs[m].predict(np.asarray(x))
                       for m, x in samples.items()])
     return float(np.mean(np.all(preds == preds[0], axis=0)))
+
+
+def evaluate_coherence(exp, model_idx: int = 0,
+                       num_random_samples: int = 256) -> Dict[str, object]:
+    """Eval-cadence entry point: conditional coherence per subset plus the
+    joint coherence of random generations, in the shape the logger's
+    ``Generation/*`` family expects (``TBLogger.py:47-57``). Returns ``{}``
+    when the cohort has a single label class (nothing to classify).
+    Reference intent: ``run_epochs.py``'s test loop was meant to call
+    ``coherence.test_generation`` (crashes upstream on ``exp.clfs``);
+    this is the fixed-forward product-surface version behind
+    ``--calc-coherence``.
+    """
+    from .sample_quality import generate_random_samples
+
+    clfs = train_modality_classifiers(exp, model_idx)
+    if clfs is None:
+        return {}
+    cond = test_generation(exp, model_idx, clfs=clfs)
+    samples = generate_random_samples(exp, model_idx,
+                                      num_samples=num_random_samples)
+    rand = calculate_coherence(exp, samples, model_idx, clfs=clfs)
+    return {"cond": cond, "random": rand}

@@ -11,6 +11,7 @@ adaptation recorded in SURVEY.md §2.4). The Frechet distance math matches
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -54,11 +55,51 @@ def calculate_fid_from_embeddings(eval_data: np.ndarray,
     return calculate_frechet_distance(mu1, s1, mu2, s2)
 
 
+def _load_sample_dump(path: str) -> np.ndarray:
+    """A sample dump is either one stacked ``.npy`` array or a directory
+    of per-sample ``.npy`` vectors (the reference's
+    ``save_samples.py:35-49`` layout, written by
+    :func:`save_generated_samples`)."""
+    if os.path.isdir(path):
+        files = sorted(f for f in os.listdir(path) if f.endswith(".npy"))
+        return np.stack([np.load(os.path.join(path, f)) for f in files])
+    return np.load(path)
+
+
 def calculate_fid_given_paths(path_eval: str, path_ref: str) -> float:
-    """FID between two ``.npy`` sample dumps (API parity with
+    """FID between two sample dumps — stacked ``.npy`` files or
+    per-sample dump directories (API parity with
     ``fid_score.py:calculate_fid_given_paths``)."""
-    return calculate_fid_from_embeddings(np.load(path_eval),
-                                         np.load(path_ref))
+    return calculate_fid_from_embeddings(_load_sample_dump(path_eval),
+                                         _load_sample_dump(path_ref))
+
+
+def save_generated_samples(exp, model_idx: int = 0,
+                           num_samples: Optional[int] = None) -> str:
+    """Per-group per-modality sample dumps — the reference's FID artifact
+    contract (``utils/save_samples.py:35-49``: one ``.npy`` vector per
+    sample under ``fid/<group>/<modality>/NNNNNN.npy``). Groups are
+    ``real``, ``random`` and one per conditioning subset; the row cap
+    follows ``num_samples_fid`` (``coherence.py:88,108``). Returns the dump
+    root."""
+    cfg = exp.cfg
+    if num_samples is None:
+        num_samples = int(getattr(cfg, "num_samples_fid", 10000))
+    gen, real = generate_conditional_samples(exp, model_idx)
+    n_real = len(next(iter(real.values())))
+    rand = generate_random_samples(exp, model_idx,
+                                   num_samples=min(num_samples, n_real))
+    groups = {"real": real, "random": rand, **gen}
+    base = os.path.join(cfg.dir_experiment_run, "fid")
+    if cfg.num_models > 1:
+        base = os.path.join(base, f"model_{model_idx}")
+    for group, mods in groups.items():
+        for m_key, arr in mods.items():
+            d = os.path.join(base, group, m_key)
+            os.makedirs(d, exist_ok=True)
+            for i, row in enumerate(np.asarray(arr)[:num_samples]):
+                np.save(os.path.join(d, str(i).zfill(6) + ".npy"), row)
+    return base
 
 
 def generate_conditional_samples(exp, model_idx: int = 0,
@@ -97,6 +138,26 @@ def generate_conditional_samples(exp, model_idx: int = 0,
     gen = {s: {m: np.asarray(v) for m, v in d.items()}
            for s, d in cond.items()}
     return gen, real
+
+
+def generate_random_samples(exp, model_idx: int = 0,
+                            num_samples: int = 256, rng=None):
+    """Unconditional generations from the unit prior
+    (``BaseMMVae.generate``, ``BaseMMVae.py:242-254``), one jitted
+    dispatch; returns ``{modality: [num_samples, D]}`` host arrays."""
+    cfg = exp.cfg
+    params = exp.params[model_idx]
+    model = exp.model
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed + 13)
+
+    def _build():
+        return jax.jit(lambda p, r: model.apply(
+            {"params": p}, num_samples, method="generate",
+            rngs={"sample": r}))
+
+    fn = cached_jit(_COND_JIT_CACHE, model, ("random", int(num_samples)),
+                    _build)
+    return {m: np.asarray(v) for m, v in fn(params, rng).items()}
 
 
 def calc_prd_score(exp, model_idx: int = 0, num_clusters: int = 20,

@@ -458,7 +458,9 @@ def chunk_plan(cfg, epoch: int,
         """Must the host run between epoch ``e`` and ``e + 1``?"""
         if (e + 1) >= cfg.end_epoch:
             return True
-        if cfg.calc_nll and (e + 1) % cfg.eval_freq == 0:
+        if (cfg.calc_nll or getattr(cfg, "calc_clf", False)
+                or getattr(cfg, "calc_coherence", False)) \
+                and (e + 1) % cfg.eval_freq == 0:
             return True
         if cfg.calc_prd and (e + 1) % cfg.eval_freq_fid == 0:
             return True

@@ -93,6 +93,12 @@ class Config:
     # evaluation
     calc_nll: bool = False
     calc_prd: bool = False
+    # latent-probe classification + conditional-generation coherence on the
+    # NLL cadence — the reference INTENDED these (representation.py:19-134,
+    # coherence.py:15-119) but both crash upstream on exp.mm_vae/exp.clfs;
+    # wired fix-forward here (eval/representation.py, eval/coherence.py)
+    calc_clf: bool = False
+    calc_coherence: bool = False
     eval_freq: int = 25
     eval_freq_fid: int = 100
     # upstream num_samples_fid only caps how many generated samples the

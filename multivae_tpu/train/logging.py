@@ -67,6 +67,22 @@ class MetricLogger:
         for key, val in prd.items():
             self._scalar("PRD", key, val)
 
+    def write_lr_eval(self, lr_eval: Dict[str, float]) -> None:
+        """Latent-probe accuracies per subset (the reference's
+        ``Latent Representation/*`` family, ``TBLogger.py:40-44``)."""
+        for l_key in sorted(lr_eval):
+            self._scalar("Latent Representation", l_key, lr_eval[l_key])
+
+    def write_coherence_logs(self, gen_eval: Dict[str, object]) -> None:
+        """Conditional/random generation coherence (the reference's
+        ``Generation/*`` family, ``TBLogger.py:47-57``). ``gen_eval``:
+        ``{"cond": {subset: {modality: acc}}, "random": float}``."""
+        for l_key in sorted(gen_eval.get("cond", {})):
+            for m_key, val in gen_eval["cond"][l_key].items():
+                self._scalar("Generation", f"{l_key}/{m_key}", val)
+        if "random" in gen_eval:
+            self._scalar("Generation", "Random", gen_eval["random"])
+
     def flush(self) -> None:
         self._csv_file.flush()
         if self.writer is not None:

@@ -368,17 +368,46 @@ def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
                     logger.write_testing_logs(jax.device_get(metrics))
 
     if ((epoch + 1) % cfg.eval_freq == 0 or (epoch + 1) == cfg.end_epoch):
-        if cfg.calc_nll:
-            from ..eval.likelihood import estimate_likelihoods
-            lhoods = estimate_likelihoods(exp, model_idx)
-            if logger is not None:
-                logger.write_lhood_logs(lhoods)
-        if cfg.calc_prd and ((epoch + 1) % cfg.eval_freq_fid == 0):
-            from ..eval.sample_quality import calc_prd_score
-            prd = calc_prd_score(exp, model_idx)
-            if logger is not None:
-                logger.write_prd_scores(prd)
+        run_eval_cadence(exp, model_idx, logger, epoch + 1)
     return rng
+
+
+def eval_cadence_active(cfg) -> bool:
+    """Any eval hooked onto the ``eval_freq`` cadence?"""
+    return bool(cfg.calc_nll or cfg.calc_prd
+                or getattr(cfg, "calc_clf", False)
+                or getattr(cfg, "calc_coherence", False))
+
+
+def run_eval_cadence(exp, model_idx: int, logger, epoch_done: int) -> None:
+    """Shared ``eval_freq`` cadence: IWAE likelihoods / PRD (reference
+    ``run_epochs.py:211-219``) plus latent-probe classification and
+    conditional-generation coherence (the evals the reference *intended* —
+    ``representation.py:19-134``, ``coherence.py:15-119`` — but that crash
+    upstream; fixed-forward behind ``calc_clf`` / ``calc_coherence``)."""
+    cfg = exp.cfg
+    if cfg.calc_nll:
+        from ..eval.likelihood import estimate_likelihoods
+        lhoods = estimate_likelihoods(exp, model_idx)
+        if logger is not None:
+            logger.write_lhood_logs(lhoods)
+    if cfg.calc_prd and (epoch_done % cfg.eval_freq_fid == 0):
+        from ..eval.sample_quality import calc_prd_score
+        prd = calc_prd_score(exp, model_idx)
+        if logger is not None:
+            logger.write_prd_scores(prd)
+    if getattr(cfg, "calc_clf", False):
+        from ..eval.representation import (
+            test_clf_lr_all_subsets, train_clf_lr_all_subsets)
+        clfs = train_clf_lr_all_subsets(exp, model_idx)
+        accs = test_clf_lr_all_subsets(exp, clfs, model_idx)
+        if logger is not None and accs:
+            logger.write_lr_eval(accs)
+    if getattr(cfg, "calc_coherence", False):
+        from ..eval.coherence import evaluate_coherence
+        gen_eval = evaluate_coherence(exp, model_idx)
+        if logger is not None and gen_eval:
+            logger.write_coherence_logs(gen_eval)
 
 
 def resume_from_checkpoints(exp) -> int:
@@ -551,17 +580,8 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
             jax.profiler.stop_trace()
         runner.write_logs(logger, flat, plans, log_every)
         if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
-                and (cfg.calc_nll or cfg.calc_prd):
-            if cfg.calc_nll:
-                from ..eval.likelihood import estimate_likelihoods
-                lhoods = estimate_likelihoods(exp, model_idx)
-                if logger is not None:
-                    logger.write_lhood_logs(lhoods)
-            if cfg.calc_prd and ((e + 1) % cfg.eval_freq_fid == 0):
-                from ..eval.sample_quality import calc_prd_score
-                prd = calc_prd_score(exp, model_idx)
-                if logger is not None:
-                    logger.write_prd_scores(prd)
+                and eval_cadence_active(cfg):
+            run_eval_cadence(exp, model_idx, logger, e + 1)
         if progress:
             frac = (epoch - cfg.start_epoch) / max(
                 cfg.end_epoch - cfg.start_epoch, 1)
@@ -676,22 +696,13 @@ def _run_ensemble_chunked(exp, ens_scan_fn, loggers, log_every: int = 1,
         runner.write_logs(loggers, flat, plans, log_every)
         e = epoch - 1
         if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
-                and (cfg.calc_nll or cfg.calc_prd):
+                and eval_cadence_active(cfg):
             # chunk_plan breaks chunks at the eval cadence, so this runs
             # at exactly the epochs test_one_epoch would (same row order:
             # test logs, then likelihoods)
             exp.params = unstack_tree(params, cfg.num_models)
             for m in range(cfg.num_models):
-                if cfg.calc_nll:
-                    from ..eval.likelihood import estimate_likelihoods
-                    lhoods = estimate_likelihoods(exp, m)
-                    if loggers[m] is not None:
-                        loggers[m].write_lhood_logs(lhoods)
-                if cfg.calc_prd and ((e + 1) % cfg.eval_freq_fid == 0):
-                    from ..eval.sample_quality import calc_prd_score
-                    prd = calc_prd_score(exp, m)
-                    if loggers[m] is not None:
-                        loggers[m].write_prd_scores(prd)
+                run_eval_cadence(exp, m, loggers[m], e + 1)
         if progress:
             frac = (epoch - cfg.start_epoch) / max(
                 cfg.end_epoch - cfg.start_epoch, 1)

@@ -37,7 +37,8 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               grad_scaling=False, use_tensorboard=True, log_every=1,
               data_parallel=1, ensemble_parallel="auto",
               fused_training=True, epoch_chunk=50, save_optimizer="all",
-              profile_dir=None, calc_nll=False, calc_prd=False):
+              profile_dir=None, calc_nll=False, calc_prd=False,
+              calc_clf=False, calc_coherence=False, save_samples=False):
     """Train the model (``workflow.py:41-182``); same parameter surface.
 
     Creates the run directory ``<dataset>_<timestamp>``, trains all ensemble
@@ -80,6 +81,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
         fused_training=bool(fused_training),
         epoch_chunk=int(epoch_chunk), save_optimizer=save_optimizer,
         calc_nll=bool(calc_nll), calc_prd=bool(calc_prd),
+        calc_clf=bool(calc_clf), calc_coherence=bool(calc_coherence),
     ).derive()
     create_dir_structure(cfg)
 
@@ -87,6 +89,14 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     exp.set_optimizers()
     run_epochs(exp, use_tensorboard=use_tensorboard, log_every=log_every,
                profile_dir=profile_dir)
+
+    if save_samples:
+        # the reference's per-group per-modality FID sample dumps
+        # (utils/save_samples.py:35-49), capped by num_samples_fid
+        from .eval.sample_quality import save_generated_samples
+        for model_idx in range(cfg.num_models):
+            dump = save_generated_samples(exp, model_idx)
+            print_text(f"sample dumps: {dump}")
 
     # run registry (workflow.py:155-182)
     runs_path = os.path.join(cfg.dir_experiment, "runs.tsv")

@@ -197,6 +197,7 @@ class TestTrainingHooks:
                      dir_experiment=outdir, input_dim=[3, 8], class_dim=3,
                      style_dim=[2, 2], end_epoch=2, batch_size=16,
                      method="joint_elbo", calc_nll=True, calc_prd=True,
+                     calc_clf=True, calc_coherence=True,
                      eval_freq=2, eval_freq_fid=2,
                      allow_missing_blocks=False).derive()
         create_dir_structure(cfg)
@@ -207,6 +208,19 @@ class TestTrainingHooks:
         df = pd.read_csv(os.path.join(cfg.dir_logs, "metrics.csv"))
         assert (df["phase"] == "Likelihoods").any()
         assert (df["phase"] == "PRD").any()
+        # latent-probe + coherence families (reference TBLogger.py:40-57
+        # intent, wired fix-forward behind calc_clf / calc_coherence)
+        clf_rows = df[df["phase"] == "Latent Representation"]
+        coh_rows = df[df["phase"] == "Generation"]
+        # the tiny split can degenerate to one label class, in which case
+        # both evals legitimately produce nothing; otherwise both families
+        # must be present with accuracies in [0, 1]
+        if len(clf_rows):
+            assert clf_rows["value"].between(0, 1).all()
+            assert (coh_rows["metric"] == "Random").any()
+            assert coh_rows["value"].between(0, 1).all()
+        else:
+            assert not len(coh_rows)
 
 
 class TestCoherence:
@@ -295,3 +309,27 @@ class TestJitCache:
         clfs = train_clf_lr_all_subsets(small_exp)
         test_clf_lr_all_subsets(small_exp, clfs)
         assert len(calls) == 1
+
+
+class TestSampleDumps:
+    def test_save_generated_samples_contract(self, small_exp):
+        """The reference's FID sample-dump artifact
+        (utils/save_samples.py:35-49): one .npy vector per sample under
+        fid/<group>/<modality>/NNNNNN.npy, groups = real/random/subsets;
+        calculate_fid_given_paths consumes the dump directories."""
+        from multivae_tpu.eval.sample_quality import (
+            calculate_fid_given_paths, save_generated_samples)
+
+        base = save_generated_samples(small_exp, num_samples=12)
+        assert os.path.basename(base) == "fid"
+        groups = sorted(os.listdir(base))
+        assert {"real", "random", "clinical", "rois",
+                "clinical_rois"} <= set(groups)
+        d_real = os.path.join(base, "real", "rois")
+        d_rand = os.path.join(base, "random", "rois")
+        files = sorted(os.listdir(d_real))
+        assert files[0] == "000000.npy"
+        assert np.load(os.path.join(d_real, files[0])).shape == (10,)
+        assert len(os.listdir(d_rand)) == 12
+        fid = calculate_fid_given_paths(d_rand, d_real)
+        assert np.isfinite(fid) and fid >= 0

@@ -69,16 +69,20 @@ def bench_train(workdir: str, datadir: str, save_optimizer: str,
             "save_optimizer": save_optimizer, "run": run, "outdir": outdir}
 
 
-def bench_daa(workdir: str, datadir: str, outdir: str, run: str) -> dict:
+def bench_daa(workdir: str, datadir: str, outdir: str, run: str,
+              artifact: str = "full") -> dict:
     from multivae_tpu.workflows import daa_exp
 
+    # distinct seed per artifact mode -> distinct result dirs, so both can
+    # be timed against the same trained run without clobbering each other
+    seed = 1037 if artifact == "full" else 1038
     t0 = time.perf_counter()
     daa_exp(dataset="synthetic", datasetdir=datadir, outdir=outdir,
             run=run, n_validation=20, n_samples=150, n_subjects=50,
-            M=1000, trust_level=0.7)
+            M=1000, trust_level=0.7, seed=seed, artifact=artifact)
     wall = time.perf_counter() - t0
     return {"stage": "daa", "wall_s": round(wall, 1),
-            "grid": "20x150x50 M=1000", "run": run}
+            "grid": "20x150x50 M=1000", "artifact": artifact, "run": run}
 
 
 def main() -> None:
@@ -100,7 +104,7 @@ def main() -> None:
                                   num_epochs=args.num_epochs)
                 last_train = res
                 print(json.dumps(res), flush=True)
-        elif stage == "daa":
+        elif stage in ("daa", "daa-stats"):
             if last_train is None:
                 # reuse the newest trained run already in the workdir, so
                 # DAA can be re-timed alone (e.g. in a better relay window)
@@ -114,9 +118,11 @@ def main() -> None:
                     sys.exit(1)
                 last_train = {"outdir": os.path.dirname(runs[-1]),
                               "run": os.path.basename(runs[-1])}
-            print(json.dumps(bench_daa(args.workdir, datadir,
-                                       last_train["outdir"],
-                                       last_train["run"])), flush=True)
+            print(json.dumps(bench_daa(
+                args.workdir, datadir, last_train["outdir"],
+                last_train["run"],
+                artifact=("stats-only" if stage == "daa-stats"
+                          else "full"))), flush=True)
         else:
             print(json.dumps({"error": f"unknown stage {stage!r}"}))
             sys.exit(1)
