@@ -11,9 +11,13 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
 import bench  # noqa: E402
 from multivae_tpu.utils.hermetic import AXON_TRIGGER_VARS  # noqa: E402
+
+pytestmark = pytest.mark.driver  # bench orchestration contract
 
 
 class _Proc:
@@ -35,9 +39,9 @@ def test_fallback_to_cpu_after_tpu_stalls(monkeypatch):
                                  "moe_sps": None}) + "\n")
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    out = bench._run_jax_stage_watchdogged()
-    train_sps, avatars, moe, backend, failures = out
-    assert (train_sps, avatars, moe, backend) == (
+    payload, failures = bench._run_jax_stage_watchdogged()
+    assert (payload["train_sps"], payload["avatars_per_sec"],
+            payload["moe_sps"], payload["backend"]) == (
         280.0, 2.7e5, None, "cpu-fallback")
     assert len(failures) == 2 and all("stalled" in f for f in failures)
     assert len(calls) == 3
@@ -57,11 +61,40 @@ def test_first_tpu_attempt_wins(monkeypatch):
     def fake_run(cmd, capture_output, text, timeout, env=None):
         return _Proc("stray line\n" + json.dumps(
             {"train_sps": 65000.0, "avatars_per_sec": 1.8e6,
-             "moe_sps": 62000.0}) + "\n")
+             "moe_sps": 62000.0, "platform": "tpu",
+             "train_windows": [44000.0, 65000.0]}) + "\n")
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    assert bench._run_jax_stage_watchdogged() == (
-        65000.0, 1.8e6, 62000.0, "tpu", [])
+    payload, failures = bench._run_jax_stage_watchdogged()
+    assert failures == []
+    assert payload["backend"] == "tpu"
+    assert payload["train_sps"] == 65000.0
+    assert payload["train_windows"] == [44000.0, 65000.0]
+
+
+def test_platform_mismatch_is_relabeled(monkeypatch):
+    """A nominally-TPU child that self-reports the CPU platform must be
+    labeled 'cpu' (honest labeling), with the mismatch recorded."""
+    def fake_run(cmd, capture_output, text, timeout, env=None):
+        return _Proc(json.dumps(
+            {"train_sps": 300.0, "avatars_per_sec": 1.0e5,
+             "moe_sps": None, "platform": "cpu"}) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    payload, failures = bench._run_jax_stage_watchdogged()
+    assert payload["backend"] == "cpu"
+    assert len(failures) == 1 and "self-reported" in failures[0]
+
+
+def test_legacy_child_without_platform_keeps_nominal_label(monkeypatch):
+    def fake_run(cmd, capture_output, text, timeout, env=None):
+        return _Proc(json.dumps(
+            {"train_sps": 60000.0, "avatars_per_sec": 1.0e6,
+             "moe_sps": None}) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    payload, failures = bench._run_jax_stage_watchdogged()
+    assert payload["backend"] == "tpu" and failures == []
 
 
 def test_all_attempts_stall_returns_failures(monkeypatch):
@@ -88,9 +121,9 @@ def test_child_error_recorded_with_stderr_tail(monkeypatch, capsys):
                                  "moe_sps": None}) + "\n")
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    out = bench._run_jax_stage_watchdogged()
-    assert out[:4] == (1.0, 2.0, None, "cpu-fallback")
-    failures = out[4]
+    payload, failures = bench._run_jax_stage_watchdogged()
+    assert payload["backend"] == "cpu-fallback"
+    assert (payload["train_sps"], payload["avatars_per_sec"]) == (1.0, 2.0)
     assert len(failures) == 2
     assert all("rc=1" in f and "kernel broke" in f for f in failures)
     # the child's stderr tail is surfaced on the parent's stderr too
@@ -109,6 +142,50 @@ def test_timeout_partial_stderr_is_kept(monkeypatch):
                                  "moe_sps": None}) + "\n")
 
     monkeypatch.setattr(subprocess, "run", fake_run)
-    out = bench._run_jax_stage_watchdogged()
-    assert out[3] == "cpu-fallback"
-    assert all("partial stderr" in f and "wedged" in f for f in out[4])
+    payload, failures = bench._run_jax_stage_watchdogged()
+    assert payload["backend"] == "cpu-fallback"
+    assert all("partial stderr" in f and "wedged" in f for f in failures)
+
+
+def _main_result(monkeypatch, capsys, payload, failures=()):
+    monkeypatch.setattr(bench, "bench_torch", lambda: 73.0)
+    monkeypatch.setattr(bench, "_run_jax_stage_watchdogged",
+                        lambda: (payload, list(failures)))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_main_reports_windows_and_spread(monkeypatch, capsys):
+    res = _main_result(monkeypatch, capsys, {
+        "train_sps": 62000.0, "avatars_per_sec": 1.5e6, "moe_sps": None,
+        "platform": "tpu", "backend": "tpu",
+        "train_windows": [31000.0, 62000.0]})
+    assert res["value"] == 62000.0
+    assert res["train_windows"] == [31000.0, 62000.0]
+    assert res["window_spread"] == 0.5
+    assert "contended" not in res
+
+
+def test_main_flags_contended_run(monkeypatch, capsys):
+    """Every window below 85% of the quiet capability => the JSON line
+    carries an explicit contention flag, so a low recorded number is
+    attributed to the shared relay pool, not the kernel."""
+    res = _main_result(monkeypatch, capsys, {
+        "train_sps": 30000.0, "avatars_per_sec": 1.0e6, "moe_sps": None,
+        "platform": "tpu", "backend": "tpu",
+        "train_windows": [28000.0, 30000.0, 29000.0]})
+    assert res["contended"] is True
+    assert "quiet-window capability" in res["contention_note"]
+
+
+def test_main_notes_platform_mismatch(monkeypatch, capsys):
+    res = _main_result(monkeypatch, capsys, {
+        "train_sps": 290.0, "avatars_per_sec": 9.0e4, "moe_sps": None,
+        "platform": "cpu", "backend": "cpu",
+        "train_windows": [290.0]},
+        failures=["tpu attempt 1: child self-reported platform='cpu'; "
+                  "result labeled accordingly"])
+    assert res["backend"] == "cpu"
+    assert "platform mismatch" in res["note"]
+    assert "contended" not in res  # only TPU numbers get the flag

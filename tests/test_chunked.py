@@ -16,6 +16,8 @@ from multivae_tpu.data import make_synthetic_cohort
 from multivae_tpu.train.config import Config
 from multivae_tpu.workflows import train_exp
 
+pytestmark = pytest.mark.driver  # chunked-dispatch driver equivalence
+
 
 class TestChunkedEquivalence:
     @pytest.fixture(scope="class")

@@ -8,6 +8,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.driver  # compile-cache contract (subprocess)
+
 
 @pytest.mark.slow
 def test_compile_cache_configuration():

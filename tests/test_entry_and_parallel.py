@@ -19,6 +19,8 @@ from multivae_tpu.parallel import (
 
 
 class TestEntry:
+    pytestmark = pytest.mark.driver  # driver-contract: entry + dryrun
+
     def test_entry_compiles_and_runs(self):
         import __graft_entry__ as ge
         fn, args = ge.entry()

@@ -17,6 +17,8 @@ from multivae_tpu.ops.fused_daa import fused_avatar_sweep
 from multivae_tpu.train import Config
 from multivae_tpu.train.train_step import init_train_state
 
+pytestmark = pytest.mark.driver  # fused DAA-kernel parity
+
 B = 30
 RNG = np.random.default_rng(4)
 

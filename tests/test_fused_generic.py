@@ -15,6 +15,8 @@ from multivae_tpu.ops.fused_generic import (
 from multivae_tpu.train import Config
 from multivae_tpu.train.train_step import init_train_state, make_train_step
 
+pytestmark = pytest.mark.driver  # generic fused-kernel parity
+
 B, CH = 32, 4
 
 

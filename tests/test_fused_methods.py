@@ -27,6 +27,8 @@ from multivae_tpu.train import Config
 from multivae_tpu.train.losses import total_loss
 from multivae_tpu.train.train_step import init_train_state
 
+pytestmark = pytest.mark.driver  # Pallas method-kernel parity
+
 B = 48
 METHODS = ("joint_elbo", "moe", "jsd", "poe")
 

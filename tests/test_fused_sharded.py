@@ -10,6 +10,8 @@ actually SELECTS the fused paths when a mesh is active.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.driver  # mesh-composition contract
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh

@@ -18,6 +18,8 @@ from multivae_tpu.train.train_step import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.driver  # Pallas-kernel parity vs the general path
+
 B = 48
 RNG = np.random.default_rng(0)
 

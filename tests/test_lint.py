@@ -5,6 +5,10 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.driver  # CI-surface check, not inner-loop logic
+
 
 def test_lint_clean():
     repo = pathlib.Path(__file__).resolve().parent.parent

@@ -30,8 +30,9 @@ from multivae_tpu.train.train_step import init_params
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/experiments"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference checkout not present")
+pytestmark = [pytest.mark.driver,
+              pytest.mark.skipif(not os.path.isdir(REF),
+                                 reason="reference checkout not present")]
 
 B = 24
 D1, D2 = 5, 17

@@ -19,6 +19,8 @@ from multivae_tpu.models import build_model, make_modalities
 from multivae_tpu.train import Config
 from multivae_tpu.train.train_step import init_params
 
+pytestmark = pytest.mark.driver  # cross-framework parity pins
+
 B = 24
 DIMS = (5, 18)
 CD = 6
