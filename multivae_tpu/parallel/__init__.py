@@ -8,6 +8,9 @@ from .mesh import (
     make_mesh,
     replicated,
     shard_batch,
+    tp_mesh,
+    tp_param_spec,
+    tp_shardings,
 )
 
 __all__ = [
@@ -18,4 +21,7 @@ __all__ = [
     "make_mesh",
     "replicated",
     "shard_batch",
+    "tp_mesh",
+    "tp_param_spec",
+    "tp_shardings",
 ]

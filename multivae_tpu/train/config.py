@@ -116,6 +116,10 @@ class Config:
 
     # parallelism / performance (new capabilities; absent in the reference)
     data_parallel: int = 1          # devices along the batch axis
+    tensor_parallel: int = 1        # devices along the hidden dimension
+    # (GSPMD column/row param sharding over a ("data", "tensor") mesh;
+    # composes with data_parallel; a scaling surface — at 256-wide MLPs
+    # single-chip is faster, SURVEY §2.6)
     ensemble_parallel: object = "auto"  # train ensemble members together
     # over a model axis ("auto" / True / False; "auto" enables it whenever
     # it beats the sequential fused path — see trainer.resolve_ensemble)

@@ -117,6 +117,87 @@ def make_train_step(cfg, model, optimizer: Optional[optax.GradientTransformation
     )
 
 
+def _tp_jit(cfg, step, mesh, batch_spec, donate: bool,
+            extra_in=(), extra_out=()):
+    """Jit ``step`` with tensor-parallel shardings, resolved lazily from
+    the first call's concrete params (the sharding tree needs leaf shapes).
+
+    Params shard over the ``tensor`` axis per :func:`tp_param_spec`;
+    ``opt_state`` stays replicated — the flat-Adam state is a raveled
+    vector whose layout does not align with per-leaf hidden splits, and at
+    this parameter count (~10-100k) the optimizer is not where the FLOPs
+    are. Loss/metrics outputs are replicated.
+    """
+    from ..parallel import tp_shardings
+
+    if cfg.hidden_dim % mesh.shape["tensor"] != 0:
+        raise ValueError(
+            f"hidden_dim {cfg.hidden_dim} must divide the tensor axis "
+            f"({mesh.shape['tensor']} devices)")
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, batch_spec)
+    cache = {}
+
+    def run(params, opt_state, batch, rng, *extra):
+        key = tuple(sorted(batch))
+        fn = cache.get(key)
+        if fn is None:
+            p_sh = tp_shardings(mesh, params, cfg.hidden_dim)
+            fn = jax.jit(
+                step,
+                in_shardings=(p_sh, repl, {k: batch_sh for k in batch},
+                              repl) + tuple(extra_in),
+                out_shardings=(p_sh, repl, repl, repl) + tuple(extra_out),
+                donate_argnums=(0, 1) if donate else ())
+            cache[key] = fn
+        return fn(params, opt_state, batch, rng, *extra)
+
+    return run
+
+
+def make_tp_train_step(cfg, model, mesh: Mesh, optimizer=None,
+                       donate: bool = True, shard_batch: bool = True):
+    """Tensor-parallel ``(params, opt_state, batch, rng)`` step.
+
+    The hidden dimension of every layer shards over the mesh's ``tensor``
+    axis (column-parallel producing kernels, row-parallel consuming
+    kernels — :func:`multivae_tpu.parallel.tp_param_spec`), the batch over
+    ``data`` when ``shard_batch``; XLA/GSPMD inserts the activation
+    all-reduces over ICI. New capability — the reference is single-device
+    (``workflow.py:123-124``); at this model scale TP is a scaling surface
+    rather than a single-chip win (SURVEY §2.6).
+    """
+    optimizer = optimizer or make_optimizer(cfg)
+    step = _member_step(cfg, model, optimizer)
+    spec = P("data") if shard_batch else P()
+    return _tp_jit(cfg, step, mesh, spec, donate)
+
+
+def make_tp_scan_train_step(cfg, model, mesh: Mesh, optimizer=None,
+                            donate: bool = True, shard_batch: bool = True):
+    """Tensor-parallel multi-step trainer: ``lax.scan`` over a stacked
+    batch axis (``[n_steps, B, ...]``), params sharded over ``tensor``
+    throughout the scan — one device dispatch per epoch, same contract as
+    :func:`make_scan_train_step`."""
+    optimizer = optimizer or make_optimizer(cfg)
+    step = _member_step(cfg, model, optimizer)
+
+    def one(carry, inp):
+        params, opt_state = carry
+        batch, rng = inp
+        params, opt_state, loss, metrics = step(params, opt_state, batch,
+                                                rng)
+        return (params, opt_state), (loss, metrics)
+
+    def scan_steps(params, opt_state, batches, rngs):
+        (params, opt_state), (losses, metrics) = jax.lax.scan(
+            one, (params, opt_state), (batches, rngs))
+        return params, opt_state, losses, metrics
+
+    spec = P(None, "data") if shard_batch else P()
+    return _tp_jit(cfg, scan_steps, mesh, spec, donate)
+
+
 def mesh_for_rows(mesh: Optional[Mesh], rows: int) -> Optional[Mesh]:
     """The ONE remainder-group sharding policy, shared by the per-epoch
     driver's ``remainder_scan_factory`` and the chunked runner: a group

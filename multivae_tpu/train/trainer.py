@@ -168,6 +168,10 @@ def resolve_ensemble(cfg, model) -> bool:
     kernel anyway (the fused kernel is the faster per-member option)."""
     if cfg.num_models <= 1:
         return False
+    if getattr(cfg, "tensor_parallel", 1) > 1:
+        # the ensemble drivers are not TP-aware; members train
+        # sequentially, each tensor-sharded over the tp mesh
+        return False
     if cfg.ensemble_parallel is True:
         return True
     if cfg.ensemble_parallel is False:
@@ -733,20 +737,39 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                                    log_every=log_every, progress=progress,
                                    profile_dir=profile_dir)
     mesh = None
-    if cfg.data_parallel > 1:
+    tp_m = None
+    if cfg.tensor_parallel > 1:
+        # GSPMD tensor parallelism: params shard over the hidden dim on a
+        # ("data", "tensor") mesh; composes with data_parallel. The Pallas
+        # kernels are single-device/data-parallel layouts, so TP runs the
+        # general jitted path (at 256-wide MLPs TP is a scaling surface,
+        # not a single-chip win — SURVEY §2.6).
+        from ..parallel import tp_mesh
+        from .train_step import make_tp_scan_train_step, make_tp_train_step
+        tp_m = tp_mesh(cfg.tensor_parallel, n_data=cfg.data_parallel)
+        step_fn = make_tp_train_step(cfg, exp.model, tp_m,
+                                     donate=cfg.donate_buffers,
+                                     shard_batch=False)
+        step_fn_remainder = None
+    elif cfg.data_parallel > 1:
         # shard the batch over a data mesh (new capability; the fused
         # single-device kernel is bypassed in this mode)
         from ..parallel import data_mesh
         mesh = data_mesh(cfg.data_parallel)
-    step_fn = make_train_step(cfg, exp.model, mesh=mesh,
-                              donate=cfg.donate_buffers)
+    if tp_m is None:
+        step_fn = make_train_step(cfg, exp.model, mesh=mesh,
+                                  donate=cfg.donate_buffers)
+        step_fn_remainder = (make_train_step(cfg, exp.model,
+                                             donate=cfg.donate_buffers)
+                             if mesh is not None else None)
     eval_fn = make_eval_step(cfg, exp.model)
     scan_eval_fn = make_scan_eval_step(cfg, exp.model)
-    step_fn_remainder = (make_train_step(cfg, exp.model,
-                                         donate=cfg.donate_buffers)
-                         if mesh is not None else None)
     fused_scan_fn = None
-    if cfg.fused_training:
+    if cfg.fused_training and tp_m is not None:
+        fused_scan_fn = make_tp_scan_train_step(
+            cfg, exp.model, tp_m, donate=cfg.donate_buffers,
+            shard_batch=cfg.batch_size % cfg.data_parallel == 0)
+    elif cfg.fused_training:
         from ..ops import fused_generic as _fg
         from ..ops import fused_step as _fs
         example = {m.name: None for m in exp.model.modalities}
@@ -796,10 +819,16 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     def remainder_scan_factory(key):
         scan_fn = remainder_scan_cache.get(key)
         if scan_fn is None:
-            from .train_step import make_scan_train_step, mesh_for_rows
-            scan_fn = make_scan_train_step(cfg, exp.model,
-                                           mesh=mesh_for_rows(mesh, key[1]),
-                                           donate=cfg.donate_buffers)
+            if tp_m is not None:
+                from .train_step import make_tp_scan_train_step as _mk
+                scan_fn = _mk(cfg, exp.model, tp_m,
+                              donate=cfg.donate_buffers,
+                              shard_batch=key[1] % cfg.data_parallel == 0)
+            else:
+                from .train_step import make_scan_train_step, mesh_for_rows
+                scan_fn = make_scan_train_step(
+                    cfg, exp.model, mesh=mesh_for_rows(mesh, key[1]),
+                    donate=cfg.donate_buffers)
             remainder_scan_cache[key] = scan_fn
         return scan_fn
 
@@ -808,7 +837,8 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
     # K-epochs-per-dispatch driver whenever an epoch-level scan fn exists
     # (single-device or data-parallel — any mesh-eligible fused_scan_fn is
     # already batch-divisible); numerically identical to the loop below
-    use_chunked = cfg.epoch_chunk > 1 and fused_scan_fn is not None
+    use_chunked = (cfg.epoch_chunk > 1 and fused_scan_fn is not None
+                   and tp_m is None)  # the chunked driver is not TP-aware
     print("training epochs progress:")
     for model_idx in range(cfg.num_models):
         logger = MetricLogger(model_log_dir(cfg, model_idx),

@@ -35,7 +35,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
               initial_out_logvar=-3.0, learn_output_scale=True,
               out_scale_per_subject=False, method="joint_elbo",
               grad_scaling=False, use_tensorboard=True, log_every=1,
-              data_parallel=1, ensemble_parallel="auto",
+              data_parallel=1, tensor_parallel=1, ensemble_parallel="auto",
               fused_training=True, epoch_chunk=50, save_optimizer="all",
               profile_dir=None, calc_nll=False, calc_prd=False,
               calc_clf=False, calc_coherence=False, save_samples=False):
@@ -47,6 +47,9 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
 
     Parallelism knobs (new capabilities; the reference is single-device):
     ``data_parallel`` shards the batch over that many devices;
+    ``tensor_parallel`` shards the hidden dimension of every layer over
+    that many devices (GSPMD column/row param sharding on a
+    ``("data", "tensor")`` mesh — composes with ``data_parallel``);
     ``ensemble_parallel`` trains ensemble members simultaneously over a
     model axis (``auto`` enables it when members can spread over a
     ``(model, data)`` device mesh, or when the sequential path would not
@@ -77,6 +80,7 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
         dropout_rate=dropout_rate, style_dim=list(style_dim),
         data_seed=data_seed, grad_scaling=grad_scaling,
         data_parallel=int(data_parallel),
+        tensor_parallel=int(tensor_parallel),
         ensemble_parallel=ensemble_parallel,
         fused_training=bool(fused_training),
         epoch_chunk=int(epoch_chunk), save_optimizer=save_optimizer,
