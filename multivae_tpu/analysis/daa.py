@@ -508,7 +508,7 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
             loc_hat, scale_hat, rois_reconstruction = reconstruction_stats(
                 model, params, data, M, k_rec, chunk=chunk, cfg=cfg,
                 exact=exact_reconstruction)
-            rois_recs.append(np.asarray(rois_reconstruction))
+            rois_recs.append(rois_reconstruction)  # device; drained once
 
             if sampling_strategy == "likelihood":
                 eps = jax.random.normal(
@@ -532,12 +532,9 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                 # wire. The wire-dtype roundtrip keeps stats-only numbers
                 # matched to a full-mode run at the same fetch_dtype.
                 rt = None if fetch_dtype == "float32" else fetch_dtype
-                ysum, xysum, yysum = _device_suffstats(
+                suffstats_rounds.append(_device_suffstats(
                     avatars, jnp.asarray(scores_values),
-                    roundtrip_dtype=rt)
-                suffstats_rounds.append((np.asarray(ysum),
-                                         np.asarray(xysum),
-                                         np.asarray(yysum)))
+                    roundtrip_dtype=rt))  # device; drained once per model
             else:
                 if fetch_dtype != "float32":
                     # halve the device->host bytes; widened to f32 on write
@@ -551,9 +548,17 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                 if pending is not None:
                     _drain_pending(rois_digital_avatars, pending, n_models)
                 pending = (model_idx, val_idx, avatars)
-            # stored layout: [B, n_samples, n_scores] (workflow.py:420-422)
-            sampled_scores.append(
-                np.swapaxes(np.asarray(scores_values), 0, 1))
+            sampled_scores.append(scores_values)  # device [P, B, S]
+        # ONE batched drain per model of the per-round small tensors
+        # (reconstruction means, sampled scores, sufficient statistics):
+        # a blocking fetch per round costs a relay round-trip each — 3-5 x
+        # n_validation of them dominated contended stats-only runs, where
+        # no large artifact transfer is left to hide them behind
+        rois_recs = jax.device_get(rois_recs)
+        suffstats_rounds = jax.device_get(suffstats_rounds)
+        # stored layout: [B, n_samples, n_scores] (workflow.py:420-422)
+        sampled_scores = [np.swapaxes(s, 0, 1)
+                          for s in jax.device_get(sampled_scores)]
         all_sampled_scores.append(sampled_scores)
         all_metadatas.append(metadatas)
         all_rois_reconstructions.append(rois_recs)
