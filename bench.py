@@ -154,9 +154,10 @@ def bench_jax(deadline_s: float = 330.0, general: bool = False):
             break  # a quiet relay window was captured; number is capability
         if window >= 1 and time_left() < deadline_s * 0.5:
             break  # keep budget for the remaining stages
-        if not general and window >= 1:
-            # back off between windows: a congestion wave on the shared
-            # relay outlives back-to-back windows (each is ~0.1-0.2 s)
+        if not general and 1 <= window < n_windows - 1:
+            # back off between windows (but not after the last one): a
+            # congestion wave on the shared relay outlives back-to-back
+            # windows (each is ~0.1-0.2 s)
             time.sleep(min(1.0 + window, 5.0))
     train_sps = max(window_sps)
     assert np.isfinite(np.asarray(losses)).all()
@@ -468,14 +469,19 @@ def main():
         result["train_windows"] = windows
         result["window_spread"] = round(
             (max(windows) - min(windows)) / max(windows), 3)
-    if backend == "tpu" and train_sps < 0.85 * QUIET_TRAIN_SPS:
+    on_tpu = (backend == "tpu"
+              or (backend == "in-process"
+                  and payload.get("platform") == "tpu"))
+    if on_tpu and train_sps < 0.85 * QUIET_TRAIN_SPS:
         result["contended"] = True
         result["contention_note"] = (
             f"best window {train_sps:.0f} steps/s is below 85% of the "
-            f"quiet-window capability ({QUIET_TRAIN_SPS:.0f} steps/s, "
-            f"BASELINE.md) across {len(windows)} backoff-spaced windows — "
-            "the shared relay pool was contended for the whole run; the "
-            "number under-reads the kernel, not the other way around")
+            f"historical quiet-window capability ({QUIET_TRAIN_SPS:.0f} "
+            f"steps/s, BASELINE.md) across {len(windows)} backoff-spaced "
+            "windows — consistent with shared-pool contention for the "
+            "whole run (a kernel regression would read the same way; "
+            "compare moe_method_kernel_steps_per_sec and re-run in a "
+            "quiet window to distinguish)")
     if backend not in ("tpu", "in-process"):
         result["backend"] = backend
         if backend == "cpu-fallback":

@@ -612,11 +612,18 @@ def compute_significativity(resdir: str, cfg, clinical_names, rois_names,
     rois_da = suffstats = None
     if os.path.exists(da_file):
         rois_da = np.load(da_file, mmap_mode="r")
-    else:
+    elif os.path.exists(suff_file):
         # stats-only run: finish the regressions from the device-reduced
         # sufficient statistics (the avatar tensor was never materialized)
         with np.load(suff_file) as fh:
             suffstats = {k: fh[k] for k in ("ysum", "xysum", "yysum")}
+    else:
+        raise FileNotFoundError(
+            f"{resdir} holds neither the avatar artifact "
+            f"('rois_digital_avatars.npy', written by daa --artifact full) "
+            f"nor the sufficient statistics ('{SUFFSTATS_FILE}', written "
+            f"by --artifact stats-only); re-run the daa workflow (or "
+            f"restore the deleted artifact) before the regression stage")
     all_sampled_scores = np.load(os.path.join(resdir, "sampled_scores.npy"))
     all_metadatas = np.load(os.path.join(resdir, "metadatas.npy"),
                             allow_pickle=True)

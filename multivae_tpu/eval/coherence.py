@@ -35,14 +35,16 @@ def train_modality_classifiers(exp, model_idx: int = 0):
 
 
 def test_generation(exp, model_idx: int = 0,
-                    clfs=None) -> Dict[str, Dict[str, float]]:
+                    clfs=None, samples=None) -> Dict[str, Dict[str, float]]:
     """Coherence of conditional generations
     (``coherence.py:test_generation`` semantics, made functional).
 
     For each subset posterior, decode every modality and measure how often
     the modality classifier recovers the true label of the conditioning
     sample. Returns ``{subset: {modality: accuracy}}``. ``clfs`` reuses
-    already-trained modality classifiers (one fit per cadence hit).
+    already-trained modality classifiers; ``samples`` reuses an already
+    computed ``generate_conditional_samples`` result (its rng is fixed,
+    so sharing it with the PRD/FID evals changes nothing numerically).
     """
     if clfs is None:
         clfs = train_modality_classifiers(exp, model_idx)
@@ -54,7 +56,8 @@ def test_generation(exp, model_idx: int = 0,
         dataset = dataset[model_idx]
     complete = dataset.idx_per_modality_subset[-1]
     _, labels, _ = dataset.gather(complete)
-    gen, _ = generate_conditional_samples(exp, model_idx)
+    gen, _ = (samples if samples is not None
+              else generate_conditional_samples(exp, model_idx))
     coherence: Dict[str, Dict[str, float]] = {}
     for s_key, mods in gen.items():
         coherence[s_key] = {}
@@ -79,7 +82,8 @@ def calculate_coherence(exp, samples: Dict[str, np.ndarray],
 
 
 def evaluate_coherence(exp, model_idx: int = 0,
-                       num_random_samples: int = 256) -> Dict[str, object]:
+                       num_random_samples: int = 256,
+                       clfs=None, samples=None) -> Dict[str, object]:
     """Eval-cadence entry point: conditional coherence per subset plus the
     joint coherence of random generations, in the shape the logger's
     ``Generation/*`` family expects (``TBLogger.py:47-57``). Returns ``{}``
@@ -91,10 +95,11 @@ def evaluate_coherence(exp, model_idx: int = 0,
     """
     from .sample_quality import generate_random_samples
 
-    clfs = train_modality_classifiers(exp, model_idx)
+    if clfs is None:
+        clfs = train_modality_classifiers(exp, model_idx)
     if clfs is None:
         return {}
-    cond = test_generation(exp, model_idx, clfs=clfs)
+    cond = test_generation(exp, model_idx, clfs=clfs, samples=samples)
     samples = generate_random_samples(exp, model_idx,
                                       num_samples=num_random_samples)
     rand = calculate_coherence(exp, samples, model_idx, clfs=clfs)

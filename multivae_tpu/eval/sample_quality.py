@@ -161,10 +161,13 @@ def generate_random_samples(exp, model_idx: int = 0,
 
 
 def calc_prd_score(exp, model_idx: int = 0, num_clusters: int = 20,
-                   num_runs: int = 5) -> Dict[str, float]:
+                   num_runs: int = 5, samples=None) -> Dict[str, float]:
     """PRD F-beta scores per (subset, modality)
-    (``sample_quality.py:calc_prd_score`` adapted to feature embeddings)."""
-    gen, real = generate_conditional_samples(exp, model_idx)
+    (``sample_quality.py:calc_prd_score`` adapted to feature embeddings).
+    ``samples`` reuses an already computed ``generate_conditional_samples``
+    result (fixed rng — sharing changes nothing numerically)."""
+    gen, real = (samples if samples is not None
+                 else generate_conditional_samples(exp, model_idx))
     n = len(next(iter(real.values())))
     num_clusters = min(num_clusters, max(2, n // 5))
     scores: Dict[str, float] = {}

@@ -456,15 +456,10 @@ def chunk_plan(cfg, epoch: int,
 
     def breaks_after(e: int) -> bool:
         """Must the host run between epoch ``e`` and ``e + 1``?"""
+        from .trainer import eval_breaks_after  # one shared predicate
         if (e + 1) >= cfg.end_epoch:
             return True
-        if (cfg.calc_nll or getattr(cfg, "calc_clf", False)
-                or getattr(cfg, "calc_coherence", False)) \
-                and (e + 1) % cfg.eval_freq == 0:
-            return True
-        if cfg.calc_prd and (e + 1) % cfg.eval_freq_fid == 0:
-            return True
-        return False
+        return eval_breaks_after(cfg, e + 1)
 
     k = 1
     while k < min(cfg.epoch_chunk, cfg.end_epoch - epoch) \

@@ -132,8 +132,9 @@ def _tp_jit(cfg, step, mesh, batch_spec, donate: bool,
 
     if cfg.hidden_dim % mesh.shape["tensor"] != 0:
         raise ValueError(
-            f"hidden_dim {cfg.hidden_dim} must divide the tensor axis "
-            f"({mesh.shape['tensor']} devices)")
+            f"tensor_parallel={mesh.shape['tensor']} must divide "
+            f"hidden_dim={cfg.hidden_dim} (the hidden dimension is what "
+            f"shards over the tensor axis)")
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, batch_spec)
     cache = {}

@@ -376,11 +376,32 @@ def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
     return rng
 
 
+# evals riding the eval_freq cadence; calc_prd rides eval_freq_fid.
+# THE one flag registry — eval_cadence_active, eval_breaks_after and
+# run_eval_cadence all derive from it, so a new eval flag added here is
+# automatically honored by the per-epoch driver AND the chunked drivers'
+# chunk-boundary planning (train/chunked.py chunk_plan).
+_EVAL_FREQ_FLAGS = ("calc_nll", "calc_clf", "calc_coherence")
+
+
+def _any_eval_freq_flag(cfg) -> bool:
+    return any(getattr(cfg, f, False) for f in _EVAL_FREQ_FLAGS)
+
+
 def eval_cadence_active(cfg) -> bool:
-    """Any eval hooked onto the ``eval_freq`` cadence?"""
-    return bool(cfg.calc_nll or cfg.calc_prd
-                or getattr(cfg, "calc_clf", False)
-                or getattr(cfg, "calc_coherence", False))
+    """Any eval hooked onto the ``eval_freq``/``eval_freq_fid`` cadence?"""
+    return bool(_any_eval_freq_flag(cfg) or cfg.calc_prd)
+
+
+def eval_breaks_after(cfg, epoch_done: int) -> bool:
+    """Must the host run eval code after ``epoch_done`` epochs?
+
+    The chunk-boundary predicate used by ``train/chunked.py:chunk_plan``
+    — kept here next to the flag registry so cadence flags cannot
+    silently diverge between the drivers."""
+    if _any_eval_freq_flag(cfg) and epoch_done % cfg.eval_freq == 0:
+        return True
+    return bool(cfg.calc_prd and epoch_done % cfg.eval_freq_fid == 0)
 
 
 def run_eval_cadence(exp, model_idx: int, logger, epoch_done: int) -> None:
@@ -390,6 +411,17 @@ def run_eval_cadence(exp, model_idx: int, logger, epoch_done: int) -> None:
     ``representation.py:19-134``, ``coherence.py:15-119`` — but that crash
     upstream; fixed-forward behind ``calc_clf`` / ``calc_coherence``)."""
     cfg = exp.cfg
+    # one conditional-generation pass per cadence hit, shared between the
+    # PRD and coherence evals (its rng is fixed, so both previously
+    # dispatched the exact same device pass twice)
+    _cond = []
+
+    def cond_samples():
+        if not _cond:
+            from ..eval.sample_quality import generate_conditional_samples
+            _cond.append(generate_conditional_samples(exp, model_idx))
+        return _cond[0]
+
     if cfg.calc_nll:
         from ..eval.likelihood import estimate_likelihoods
         lhoods = estimate_likelihoods(exp, model_idx)
@@ -397,7 +429,7 @@ def run_eval_cadence(exp, model_idx: int, logger, epoch_done: int) -> None:
             logger.write_lhood_logs(lhoods)
     if cfg.calc_prd and (epoch_done % cfg.eval_freq_fid == 0):
         from ..eval.sample_quality import calc_prd_score
-        prd = calc_prd_score(exp, model_idx)
+        prd = calc_prd_score(exp, model_idx, samples=cond_samples())
         if logger is not None:
             logger.write_prd_scores(prd)
     if getattr(cfg, "calc_clf", False):
@@ -408,8 +440,20 @@ def run_eval_cadence(exp, model_idx: int, logger, epoch_done: int) -> None:
         if logger is not None and accs:
             logger.write_lr_eval(accs)
     if getattr(cfg, "calc_coherence", False):
-        from ..eval.coherence import evaluate_coherence
-        gen_eval = evaluate_coherence(exp, model_idx)
+        from ..eval.coherence import (
+            evaluate_coherence, train_modality_classifiers)
+        # the modality classifiers fit on the (static) train split —
+        # train once per model and reuse across cadence hits
+        cache = getattr(exp, "_modality_clfs", None)
+        if cache is None:
+            cache = exp._modality_clfs = {}
+        if model_idx not in cache:
+            cache[model_idx] = train_modality_classifiers(exp, model_idx)
+        gen_eval = {}
+        if cache[model_idx] is not None:
+            gen_eval = evaluate_coherence(exp, model_idx,
+                                          clfs=cache[model_idx],
+                                          samples=cond_samples())
         if logger is not None and gen_eval:
             logger.write_coherence_logs(gen_eval)
 
@@ -747,9 +791,22 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
         from ..parallel import tp_mesh
         from .train_step import make_tp_scan_train_step, make_tp_train_step
         tp_m = tp_mesh(cfg.tensor_parallel, n_data=cfg.data_parallel)
-        step_fn = make_tp_train_step(cfg, exp.model, tp_m,
-                                     donate=cfg.donate_buffers,
-                                     shard_batch=False)
+        # per-step path: shard the batch over the data axis when its rows
+        # divide it (full batches), replicate otherwise (missing-modality
+        # groups, last partial batches) — mirrors the remainder policy
+        _tp_sharded = make_tp_train_step(cfg, exp.model, tp_m,
+                                         donate=cfg.donate_buffers,
+                                         shard_batch=True)
+        _tp_repl = make_tp_train_step(cfg, exp.model, tp_m,
+                                      donate=cfg.donate_buffers,
+                                      shard_batch=False)
+
+        def step_fn(params, opt_state, batch, rng):
+            rows = len(next(iter(batch.values())))
+            fn = (_tp_sharded if rows % cfg.data_parallel == 0
+                  else _tp_repl)
+            return fn(params, opt_state, batch, rng)
+
         step_fn_remainder = None
     elif cfg.data_parallel > 1:
         # shard the batch over a data mesh (new capability; the fused

@@ -222,6 +222,47 @@ class TestTrainingHooks:
         else:
             assert not len(coh_rows)
 
+    def test_cadence_shares_one_generation_pass(self, tmp_path,
+                                                monkeypatch):
+        """With calc_prd AND calc_coherence on, the cadence must run
+        generate_conditional_samples ONCE per hit (its rng is fixed, so
+        the two evals' passes were byte-identical) and fit the modality
+        classifiers once per model, not once per hit."""
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=3,
+                              n_rois=8, missing_rate=0.0, seed=23)
+        from multivae_tpu.eval import coherence as coh
+        from multivae_tpu.eval import sample_quality as sq
+        from multivae_tpu.train import trainer
+        from multivae_tpu.train.config import Config
+        from multivae_tpu.utils.filehandling import create_dir_structure
+
+        gen_calls, fit_calls = [], []
+        real_gen = sq.generate_conditional_samples
+        real_fit = coh.train_modality_classifiers
+        monkeypatch.setattr(
+            sq, "generate_conditional_samples",
+            lambda *a, **k: gen_calls.append(1) or real_gen(*a, **k))
+        monkeypatch.setattr(
+            coh, "train_modality_classifiers",
+            lambda *a, **k: fit_calls.append(1) or real_fit(*a, **k))
+        cfg = Config(dataset="synthetic", datasetdir=datasetdir,
+                     dir_experiment=outdir, input_dim=[3, 8], class_dim=3,
+                     style_dim=[2, 2], end_epoch=4, batch_size=16,
+                     method="joint_elbo", calc_prd=True,
+                     calc_coherence=True, eval_freq=2, eval_freq_fid=2,
+                     allow_missing_blocks=False).derive()
+        create_dir_structure(cfg)
+        exp = MultimodalExperiment(cfg)
+        exp.set_optimizers()
+        trainer.run_epochs(exp, use_tensorboard=False, progress=False)
+        # 2 cadence hits (epochs 2 and 4): one generation pass per hit
+        assert len(gen_calls) == 2, gen_calls
+        # classifiers fit once per model across all hits
+        assert len(fit_calls) == 1, fit_calls
+
 
 class TestCoherence:
     def test_conditional_coherence(self, small_exp):
