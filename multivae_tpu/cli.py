@@ -78,6 +78,7 @@ def _commands() -> Dict[str, Callable]:
     cmds = {
         "train": wf.train_exp,
         "resume": wf.resume_exp,
+        "eval": wf.eval_exp,
         "daa": wf.daa_exp,
         "anova": wf.anova_exp,
         "daa-plot-most-connected": wf.daa_plot_most_connected,

@@ -131,6 +131,86 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
     return cfg.str_experiment
 
 
+def eval_exp(dataset, datasetdir, outdir, run, nll=True, prd=True,
+             clf=True, coherence=True, load_epoch: int = -1):
+    """Post-hoc evaluation of a trained run: IWAE likelihoods, PRD,
+    latent-probe classification and conditional-generation coherence on a
+    saved checkpoint, without retraining.
+
+    New command — the reference only runs these inside the training loop
+    (``run_epochs.py:211-219``; its probe/coherence versions crash
+    upstream), so evaluating an already-trained run required a full
+    retrain there. ``load_epoch`` picks a specific checkpoint (default
+    latest). Results are printed and written to
+    ``<run>/eval/eval_<epoch>.tsv`` (model, family, metric, value rows).
+    """
+    expdir = os.path.join(outdir, run)
+    flags_file = os.path.join(expdir, "flags.json")
+    if not os.path.isfile(flags_file):
+        raise ValueError("You need first to train the model.")
+    print_title(f"EVAL: {run}")
+    experiment, cfg = MultimodalExperiment.get_experiment(
+        flags_file, os.path.join(expdir, "checkpoints"),
+        load_epoch=None if load_epoch in (-1, None) else int(load_epoch))
+    evaldir = os.path.join(expdir, "eval")
+    os.makedirs(evaldir, exist_ok=True)
+
+    rows = []
+
+    def add(model_idx, family, metric, value):
+        rows.append({"model": model_idx, "family": family,
+                     "metric": metric, "value": float(value)})
+
+    for model_idx in range(cfg.num_models):
+        cond_cache = []
+
+        def cond_samples():
+            if not cond_cache:
+                from .eval.sample_quality import (
+                    generate_conditional_samples)
+                cond_cache.append(
+                    generate_conditional_samples(experiment, model_idx))
+            return cond_cache[0]
+
+        if nll:
+            from .eval.likelihood import estimate_likelihoods
+            lhoods = estimate_likelihoods(experiment, model_idx)
+            for s_key in sorted(lhoods):
+                for m_key, val in lhoods[s_key].items():
+                    add(model_idx, "Likelihoods", f"{s_key}/{m_key}", val)
+        if prd:
+            from .eval.sample_quality import calc_prd_score
+            for key, val in calc_prd_score(
+                    experiment, model_idx, samples=cond_samples()).items():
+                add(model_idx, "PRD", key, val)
+        if clf:
+            from .eval.representation import (
+                test_clf_lr_all_subsets, train_clf_lr_all_subsets)
+            clfs = train_clf_lr_all_subsets(experiment, model_idx)
+            accs = test_clf_lr_all_subsets(experiment, clfs, model_idx)
+            for l_key in sorted(accs or {}):
+                add(model_idx, "Latent Representation", l_key, accs[l_key])
+        if coherence:
+            from .eval.coherence import evaluate_coherence
+            gen_eval = evaluate_coherence(experiment, model_idx,
+                                          samples=cond_samples())
+            for l_key in sorted(gen_eval.get("cond", {})):
+                for m_key, val in gen_eval["cond"][l_key].items():
+                    add(model_idx, "Generation", f"{l_key}/{m_key}", val)
+            if "random" in gen_eval:
+                add(model_idx, "Generation", "Random", gen_eval["random"])
+
+    frame = pd.DataFrame(rows, columns=["model", "family", "metric",
+                                        "value"])
+    epoch_tag = "latest" if load_epoch in (-1, None) else f"{load_epoch:04d}"
+    out = os.path.join(evaldir, f"eval_{epoch_tag}.tsv")
+    frame.to_csv(out, index=False, sep="\t")
+    for _, r in frame.iterrows():
+        print_text(f"model {r.model} {r.family}/{r.metric}: {r.value:.4f}")
+    print_result(f"eval summary: {out}")
+    return out
+
+
 def resume_exp(dataset, datasetdir, outdir, run, num_epochs: int,
                use_tensorboard=True, log_every=1):
     """Resume training an existing run up to ``num_epochs`` total epochs.

@@ -374,3 +374,35 @@ class TestSampleDumps:
         assert len(os.listdir(d_rand)) == 12
         fid = calculate_fid_given_paths(d_rand, d_real)
         assert np.isfinite(fid) and fid >= 0
+
+
+class TestEvalCommand:
+    def test_eval_exp_posthoc(self, tmp_path):
+        """The standalone `eval` command: post-hoc NLL/PRD/probe/coherence
+        on a saved checkpoint, TSV summary with the four scalar families
+        (subject to label degeneracy for the probe/coherence rows)."""
+        import pandas as pd
+
+        from multivae_tpu.workflows import eval_exp, train_exp
+
+        datasetdir = str(tmp_path / "data")
+        outdir = str(tmp_path / "out")
+        os.makedirs(outdir)
+        make_synthetic_cohort(datasetdir, n_subjects=60, n_scores=3,
+                              n_rois=8, missing_rate=0.0, seed=23)
+        run = train_exp(dataset="synthetic", datasetdir=datasetdir,
+                        outdir=outdir, input_dims=[3, 8], latent_dim=3,
+                        style_dim=[2, 2], num_epochs=2, batch_size=16,
+                        method="joint_elbo", use_tensorboard=False)
+        out = eval_exp(dataset="synthetic", datasetdir=datasetdir,
+                       outdir=outdir, run=run)
+        assert out.endswith("eval_latest.tsv") and os.path.exists(out)
+        d = pd.read_table(out)
+        fams = set(d.family)
+        assert {"Likelihoods", "PRD"} <= fams
+        assert np.isfinite(d.value).all()
+        # a specific checkpoint by epoch works too
+        out1 = eval_exp(dataset="synthetic", datasetdir=datasetdir,
+                        outdir=outdir, run=run, load_epoch=1,
+                        prd=False, clf=False, coherence=False)
+        assert out1.endswith("eval_0001.tsv") and os.path.exists(out1)

@@ -332,7 +332,7 @@ class TestTensorParallel:
         model = build_model(cfg, make_modalities(
             cfg.input_dim, cfg.style_dim, cfg.likelihood))
         mesh = tp_mesh(4, n_data=2)
-        with pytest.raises(ValueError, match="divide the tensor axis"):
+        with pytest.raises(ValueError, match="must divide"):
             make_tp_train_step(cfg, model, mesh, donate=False)
 
 
