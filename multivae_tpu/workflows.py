@@ -725,6 +725,10 @@ def rsa_plot_exp(dataset, datasetdir, outdir, run):
     print_title(f"PLOT RSA results: {dataset}")
     expdir = os.path.join(outdir, run)
     rsadir = os.path.join(expdir, "rsa")
+    if not os.path.isfile(os.path.join(rsadir, "latent_dissimilarity.npy")):
+        raise ValueError(
+            f"no RSA results under {rsadir}; run the `rsa` command on this "
+            "run first")
     latent_cmat = np.load(os.path.join(rsadir, "latent_dissimilarity.npy"))
     scores_cmat = np.load(os.path.join(rsadir, "scores_dissimilarity.npy"))
     print_text(f"latent dissimilarity: {latent_cmat.shape}")

@@ -256,11 +256,13 @@ class TestTensorParallel:
         assert os.path.exists(os.path.join(
             outdir, run, "checkpoints", "0003", "model"))
 
-    def test_tp_step_matches_single_device(self):
+    @pytest.mark.parametrize("method", ["joint_elbo", "poe"])
+    def test_tp_step_matches_single_device(self, method):
+        """poe exercises the unimodal-ELBO re-runs under the sharding."""
         from multivae_tpu.parallel import tp_mesh
         from multivae_tpu.train.train_step import make_tp_train_step
 
-        cfg = make_cfg("joint_elbo", dropout_rate=0.0)
+        cfg = make_cfg(method, dropout_rate=0.0)
         batch = correlated_batch(cfg)
         model, params, opt_state = setup(cfg, batch)
         mesh = tp_mesh(4, n_data=2)
