@@ -29,7 +29,9 @@ def _load_daa_dir(outdir, run, n_validation, n_subjects, M, n_samples,
     if seed is None:
         # analyze_avatars' namespace omits the seed (analyze_avatars.py:38-42)
         del params.__dict__["seed"]
-    return os.path.join(outdir, run, "daa", resdir_name(params))
+    from .daa import require_resdir
+    return require_resdir(os.path.join(outdir, run, "daa",
+                                       resdir_name(params)))
 
 
 def analyze_avatars(dataset, datasetdir, outdir, run, n_validation=5,

@@ -90,6 +90,25 @@ def resdir_name(params: SimpleNamespace) -> str:
                     for key, val in params.__dict__.items())
 
 
+def require_resdir(resdir: str) -> str:
+    """Validate that a reconstructed DAA result dir exists; on a mismatch
+    say what IS there instead of failing later with a raw
+    FileNotFoundError on the first artifact read (the downstream commands
+    — anova, daa-analysis, daa-robustness — rebuild the dir name from
+    their own grid args, which must match the ``daa`` run's)."""
+    if os.path.isdir(resdir):
+        return resdir
+    daadir = os.path.dirname(resdir)
+    have = sorted(os.listdir(daadir)) if os.path.isdir(daadir) else []
+    hint = ("pass the same --n-validation/--n-samples/--n-subjects/--M/"
+            "--reg-method/--sampling-strategy/--sample-latents/--seed "
+            "values the `daa` run used")
+    if have:
+        raise ValueError(f"no DAA results at {os.path.basename(resdir)}; "
+                         f"{hint}. Available under {daadir}: {have}")
+    raise ValueError(f"{daadir} has no DAA results — run `daa` first")
+
+
 def complete_indices(dataset) -> np.ndarray:
     """Dataset indices whose samples carry every modality."""
     return np.asarray(dataset.idx_per_modality_subset[-1])

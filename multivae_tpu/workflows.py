@@ -296,7 +296,7 @@ def anova_exp(dataset, datasetdir, outdir, run, n_validation=5,
               reg_method="hierarchical", sample_latents=True, vote_prop=1):
     """Site-effect ANOVA on DAA per-subject betas (``workflow.py:542-654``)."""
     from .analysis.anova import run_anova
-    from .analysis.daa import params_namespace, resdir_name
+    from .analysis.daa import params_namespace, require_resdir, resdir_name
 
     if reg_method != "hierarchical":
         raise ValueError(
@@ -312,7 +312,7 @@ def anova_exp(dataset, datasetdir, outdir, run, n_validation=5,
     params = params_namespace(n_validation, n_subjects, M, n_samples,
                               reg_method, sampling_strategy, sample_latents,
                               seed)
-    resdir = os.path.join(daadir, resdir_name(params))
+    resdir = require_resdir(os.path.join(daadir, resdir_name(params)))
     return run_anova(resdir, clinical_names, rois_names, cfg.num_models,
                      n_validation, trust_level, vote_prop)
 
