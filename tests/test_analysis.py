@@ -201,10 +201,10 @@ class TestCli:
         from multivae_tpu.cli import _commands
         cmds = _commands()
         assert set(cmds) == {
-            "train", "resume", "daa", "anova", "daa-plot-most-connected",
-            "daa-plot-score-metric", "rsa", "rsa-plot", "hist-plot",
-            "avatar-plot", "daa-analysis", "daa-robustness",
-            "univariate-tests"}
+            "train", "resume", "eval", "daa", "anova",
+            "daa-plot-most-connected", "daa-plot-score-metric", "rsa",
+            "rsa-plot", "hist-plot", "avatar-plot", "daa-analysis",
+            "daa-robustness", "univariate-tests"}
 
     def test_cli_train_invocation(self, tmp_path):
         from multivae_tpu.cli import main
