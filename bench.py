@@ -152,8 +152,12 @@ def bench_jax(deadline_s: float = 330.0, general: bool = False):
         window_sps.append(reps * chunk / (time.perf_counter() - t0))
         if not general and max(window_sps) >= QUIET_TRAIN_SPS:
             break  # a quiet relay window was captured; number is capability
-        if window >= 1 and time_left() < deadline_s * 0.5:
-            break  # keep budget for the remaining stages
+        # budget guard: while contended, sampling MORE windows of the
+        # primary metric beats preserving the secondary moe stage (which
+        # gets skipped below the same threshold anyway); only the avatar
+        # stage's slice is reserved
+        if window >= 1 and time_left() < deadline_s * 0.35:
+            break
         if not general and 1 <= window < n_windows - 1:
             # back off between windows (but not after the last one): a
             # congestion wave on the shared relay outlives back-to-back
