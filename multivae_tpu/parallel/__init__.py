@@ -1,5 +1,10 @@
-"""Parallelism layer: (model, data) device meshes and shardings."""
+"""Parallelism layer: device meshes, shardings, and the GPipe pipeline."""
 
+from .pipeline import (
+    pipe_mesh,
+    pipeline_apply,
+    stack_stages,
+)
 from .mesh import (
     batch_sharding,
     data_mesh,
@@ -19,7 +24,10 @@ __all__ = [
     "ensemble_batch_sharding",
     "ensemble_sharding",
     "make_mesh",
+    "pipe_mesh",
+    "pipeline_apply",
     "replicated",
+    "stack_stages",
     "shard_batch",
     "tp_mesh",
     "tp_param_spec",
