@@ -56,12 +56,19 @@ def stack_stages(stage_params: Sequence):
 
 
 def pipeline_apply(stage_fn: Callable, stacked_params, x: jnp.ndarray, *,
-                   n_micro: int, mesh: Mesh, axis_name: str = "pipe"):
+                   n_micro: int, mesh: Mesh, axis_name: str = "pipe",
+                   with_coords: bool = False):
     """Run ``x`` through the stage stack with a GPipe microbatch schedule.
 
     Args:
       stage_fn: ``(stage_params, h[mb, d]) -> h[mb, d]`` — one pipeline
         stage; must preserve the activation shape (homogeneous stack).
+        With ``with_coords=True`` the signature is
+        ``(stage_params, h, stage, micro)`` where ``stage`` / ``micro``
+        are traced scalars naming the stage index and the microbatch
+        index it is processing — fold them into an rng key for
+        stochastic stages (dropout): the same ``(stage, micro)`` fold in
+        a sequential reference reproduces the pipeline bit for bit.
       stacked_params: pytree whose leaves have leading axis ``S`` (one slice
         per stage, e.g. from :func:`stack_stages`); sharded ``P("pipe")``.
       x: ``[batch, d]`` input activations (replicated).
@@ -97,7 +104,14 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x: jnp.ndarray, *,
             start = jnp.clip(t, 0, n_micro - 1) * mb
             inj = jax.lax.dynamic_slice_in_dim(x_full, start, mb, axis=0)
             h = jnp.where(stage == 0, inj, buf)
-            out = stage_fn(p, h)
+            if with_coords:
+                # stage s processes microbatch t - s at tick t (clamped to
+                # a valid id during fill/drain — those outputs are never
+                # committed, the clamp only keeps rng folds in range)
+                micro = jnp.clip(t - stage, 0, n_micro - 1)
+                out = stage_fn(p, h, stage, micro)
+            else:
+                out = stage_fn(p, h)
             # the last stage commits microbatch t - (S-1) once it exists
             opos = jnp.clip(t - (n_stages - 1), 0, n_micro - 1) * mb
             committed = jax.lax.dynamic_update_slice_in_dim(

@@ -252,7 +252,7 @@ def _load_trained(outdir: str, run: str):
 def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
             n_validation=5, n_samples=200, n_subjects=50, M=1000,
             trust_level=0.75, seed=1037, reg_method="hierarchical",
-            sample_latents=True, vote_prop=1, chunk=16,
+            sample_latents=True, vote_prop=1.0, chunk=16,
             use_sharding="auto", exact_reconstruction="auto",
             fetch_dtype="float16", artifact="full"):
     """Digital avatars analysis (``workflow.py:185-539``): perturb one
@@ -293,7 +293,7 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
 def anova_exp(dataset, datasetdir, outdir, run, n_validation=5,
               n_samples=200, n_subjects=50, sampling_strategy="likelihood",
               M=1000, trust_level=0.75, seed=1037,
-              reg_method="hierarchical", sample_latents=True, vote_prop=1):
+              reg_method="hierarchical", sample_latents=True, vote_prop=1.0):
     """Site-effect ANOVA on DAA per-subject betas (``workflow.py:542-654``)."""
     from .analysis.anova import run_anova
     from .analysis.daa import params_namespace, require_resdir, resdir_name
@@ -422,7 +422,7 @@ def _collect_significant(pvalues, clinical_names, rois_names, n_models,
 
 def daa_plot_most_connected(dataset, datasetdir, outdir, run,
                             trust_level=0.7, n_rois=5,
-                            plot_associations=False, vote_prop=1,
+                            plot_associations=False, vote_prop=1.0,
                             rescaled=True, surface_atlas=None):
     """Radar plots of the most-connected ROI coefficients + area plot
     (``workflow.py:905-1121``; matplotlib radar instead of plotly).
@@ -534,7 +534,7 @@ def daa_plot_most_connected(dataset, datasetdir, outdir, run,
 
 def daa_plot_score_metric(dataset, datasetdir, outdir, run, score, metric,
                           trust_level=0.7, plot_rois=True,
-                          plot_weights=True, vote_prop=1, rescaled=True,
+                          plot_weights=True, vote_prop=1.0, rescaled=True,
                           surface_atlas=None):
     """Surface + barh plots of significant ROIs for one (score, metric)
     (``workflow.py:1123-1238``). ``surface_atlas`` (or the

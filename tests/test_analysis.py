@@ -206,6 +206,26 @@ class TestCli:
             "rsa-plot", "hist-plot", "avatar-plot", "daa-analysis",
             "daa-robustness", "univariate-tests"}
 
+    def test_cli_fractional_vote_prop_parses(self):
+        """``vote_prop`` is a *proportion of models* — the reference's own
+        robustness sweep uses 0.5–1.0 (``analyze_avatars.py:176``), so the
+        CLI must parse fractional values (regression: an int-typed default
+        rejected ``--vote-prop 0.67``)."""
+        import argparse
+
+        from multivae_tpu import workflows as wf
+        from multivae_tpu.cli import _add_args_from_signature
+        for fn in (wf.daa_exp, wf.anova_exp, wf.daa_plot_most_connected,
+                   wf.daa_plot_score_metric):
+            p = argparse.ArgumentParser()
+            _add_args_from_signature(p, fn)
+            ns = p.parse_args(["--dataset", "d", "--datasetdir", "x",
+                               "--outdir", "o", "--run", "r",
+                               "--vote-prop", "0.67"]
+                              + (["--score", "s", "--metric", "m"]
+                                 if fn is wf.daa_plot_score_metric else []))
+            assert ns.vote_prop == pytest.approx(0.67)
+
     def test_cli_train_invocation(self, tmp_path):
         from multivae_tpu.cli import main
         datasetdir = str(tmp_path / "data")

@@ -137,6 +137,38 @@ class TestPipelinedTraining:
         w0 = np.asarray(params["stack"]["w"][0])
         np.testing.assert_array_equal(w0[in_dim:], 0.0)
 
+    def test_stochastic_stage_with_coords_matches_sequential(self):
+        """with_coords=True: a dropout-bearing stage folds (stage, micro)
+        into its rng and the pipeline reproduces the sequential reference
+        bit for bit."""
+        key = jax.random.PRNGKey(9)
+        n_stages, d, mb, n_micro = 4, 10, 6, 3
+        stages = _stages(key, n_stages, d)
+        x = jax.random.normal(jax.random.fold_in(key, 1),
+                              (mb * n_micro, d))
+        base = jax.random.PRNGKey(123)
+        rate = 0.5
+
+        def drop_stage(p, h, stage, micro):
+            h = mlp_stage(p, h)
+            k = jax.random.fold_in(jax.random.fold_in(base, stage), micro)
+            keep = jax.random.bernoulli(k, 1.0 - rate, h.shape)
+            return jnp.where(keep, h / (1.0 - rate), 0.0)
+
+        mesh = pipe_mesh(n_stages)
+        got = pipeline_apply(drop_stage, stack_stages(stages), x,
+                             n_micro=n_micro, mesh=mesh, with_coords=True)
+
+        # sequential reference: same (stage, micro) rng folds
+        chunks = []
+        for m in range(n_micro):
+            h = x[m * mb:(m + 1) * mb]
+            for s, p in enumerate(stages):
+                h = drop_stage(p, h, jnp.asarray(s), jnp.asarray(m))
+            chunks.append(h)
+        want = jnp.concatenate(chunks)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_compiled_program_contains_collective_permute(self):
         """The schedule really is SPMD pipelining over ICI, not a rerun of
         every stage on every device: the lowered HLO must carry the
