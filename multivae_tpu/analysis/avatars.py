@@ -38,9 +38,17 @@ def analyze_avatars(dataset, datasetdir, outdir, run, n_validation=5,
                     n_samples=200, n_subjects=50, M=1000,
                     reg_method="hierarchical",
                     sampling_strategy="likelihood", sample_latents=True,
-                    val_step=0, seed=1037, n_subjects_to_plot=5):
+                    val_step=0, seed=1037, n_subjects_to_plot=5,
+                    model_idx=0):
     """KDE of sampled scores vs true values + avatar-vs-score scatters
-    (``analyze_avatars.py:17-104``)."""
+    (``analyze_avatars.py:17-104``).
+
+    Fixed upstream intent: ensemble (``num_models>1``) DAA artifacts carry
+    a leading models axis that the reference's ``da[val_step]`` slicing
+    ignores (``analyze_avatars.py:64-66`` selects a *model* and crashes
+    downstream); here ``model_idx`` picks the ensemble member to analyze
+    (with its own scalers) and single-model artifacts behave as before.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -70,12 +78,19 @@ def analyze_avatars(dataset, datasetdir, outdir, run, n_validation=5,
     scores = np.load(os.path.join(resdir, "sampled_scores.npy"))
     metadata = np.load(os.path.join(resdir, "metadatas.npy"),
                        allow_pickle=True)
+    if flags.num_models > 1:
+        if not 0 <= model_idx < da.shape[0]:
+            raise ValueError(
+                f"model_idx {model_idx} out of range for the "
+                f"{da.shape[0]}-member ensemble artifact")
+        da, scores = da[model_idx], scores[model_idx]
+        metadata = metadata[model_idx]
     da, scores, metadata = da[val_step], scores[val_step], metadata[val_step]
 
     rng = np.random.default_rng(seed)
     subj_indices = rng.integers(len(scores), size=n_subjects_to_plot)
     scalers = (experiment.scalers if flags.num_models == 1
-               else experiment.scalers[0])
+               else experiment.scalers[model_idx])
     short_names = get_short_clinical_names(dataset, clinical_names)
     tab = list(colors.TABLEAU_COLORS)
 

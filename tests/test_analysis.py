@@ -469,6 +469,26 @@ class TestEnsembleAnalyses:
         kt = np.load(stats_file, allow_pickle=True)
         assert np.isfinite(np.asarray(kt, dtype=float)).any()
 
+    def test_daa_analysis_on_ensemble(self, ens_pipeline):
+        """Ensemble artifacts carry a models axis the reference's slicing
+        ignores (upstream ``analyze_avatars.py:64-66`` crashes for
+        num_models>1); ``model_idx`` selects the member (fix-forward)."""
+        datasetdir, outdir, run, resdir, kw = ens_pipeline
+        figdir = analyze_avatars(
+            dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+            run=run, n_validation=kw["n_validation"],
+            n_samples=kw["n_samples"], n_subjects=kw["n_subjects"],
+            M=kw["M"], seed=kw["seed"], n_subjects_to_plot=3,
+            model_idx=1)
+        assert os.path.isfile(
+            os.path.join(figdir, "avatars_vs_scores.png"))
+        with pytest.raises(ValueError, match="out of range"):
+            analyze_avatars(
+                dataset="synthetic", datasetdir=datasetdir, outdir=outdir,
+                run=run, n_validation=kw["n_validation"],
+                n_samples=kw["n_samples"], n_subjects=kw["n_subjects"],
+                M=kw["M"], seed=kw["seed"], model_idx=5)
+
     def test_daa_plots_on_ensemble(self, ens_pipeline):
         datasetdir, outdir, run, resdir, _ = ens_pipeline
         wf.daa_plot_most_connected(dataset="synthetic",
