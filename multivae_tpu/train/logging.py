@@ -25,15 +25,34 @@ class MetricLogger:
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
-        self.step = 0
         self.writer = None
         if use_tensorboard and SummaryWriter is not None:
             self.writer = SummaryWriter(log_dir)
         self._csv_path = os.path.join(log_dir, "metrics.csv")
+        # on resume, continue the step axis where the previous session
+        # stopped — steps are monotone within a session, so the last CSV
+        # row carries the previous maximum (a fresh counter would
+        # interleave resumed rows below the old ones in TB and the CSV)
+        self.step = self._resume_step(self._csv_path)
         self._csv_file = open(self._csv_path, "a", newline="")
         self._csv = csv.writer(self._csv_file)
         if os.path.getsize(self._csv_path) == 0:
             self._csv.writerow(["step", "phase", "metric", "value"])
+
+    @staticmethod
+    def _resume_step(csv_path: str) -> int:
+        try:
+            if not os.path.isfile(csv_path):
+                return 0
+            with open(csv_path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                f.seek(max(0, f.tell() - 4096))
+                lines = [ln for ln in f.read().split(b"\n") if ln.strip()]
+            if not lines:
+                return 0
+            return int(lines[-1].split(b",", 1)[0]) + 1
+        except (OSError, ValueError):
+            return 0
 
     def add_text(self, tag: str, text: str) -> None:
         if self.writer is not None:

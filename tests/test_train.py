@@ -484,3 +484,35 @@ class TestResolveEnsemble:
         cfg = make_cfg("joint_elbo", num_models=3, ensemble_parallel="auto",
                        input_dim=[7, 60000], dropout_rate=0.3)
         assert resolve_ensemble(cfg, self._model(cfg)) is True
+
+
+class TestMetricLogger:
+    def test_resumes_step_axis_from_existing_csv(self, tmp_path):
+        """Resumed sessions must continue the step axis, not restart at 0
+        (a fresh counter interleaves resumed rows below the old ones in
+        the CSV/tensorboard)."""
+        from multivae_tpu.train.logging import MetricLogger
+
+        lg = MetricLogger(str(tmp_path), use_tensorboard=False)
+        assert lg.step == 0
+        for _ in range(3):
+            lg.write_training_logs({"loss": 1.0})
+        lg.close()
+
+        lg2 = MetricLogger(str(tmp_path), use_tensorboard=False)
+        assert lg2.step == 3
+        lg2.write_testing_logs({"loss": 2.0})
+        lg2.close()
+
+        import pandas as pd
+        m = pd.read_csv(tmp_path / "metrics.csv")
+        assert list(m["step"]) == [0, 1, 2, 3]
+
+    def test_header_only_csv_starts_at_zero(self, tmp_path):
+        from multivae_tpu.train.logging import MetricLogger
+
+        lg = MetricLogger(str(tmp_path), use_tensorboard=False)
+        lg.close()  # header row only, no data
+        lg2 = MetricLogger(str(tmp_path), use_tensorboard=False)
+        assert lg2.step == 0
+        lg2.close()
