@@ -16,7 +16,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import time
 
 import numpy as np
@@ -31,11 +33,46 @@ STEPS = 300
 AVATAR_SAMPLES = 150  # per-score decode sweep size for the avatars metric
 # (matches the reference's published DAA config, README.md:84 n_samples=150)
 
-# quiet-window capability of the fused kernel through the relay (steps/s,
-# BASELINE.md / BENCH_r02): once a measurement window reaches this, the
-# relay was quiet and further windows cannot raise the honest number.
-# A best-of below 85% of it is flagged "contended" in the JSON line.
-QUIET_TRAIN_SPS = 55_000.0
+# quiet-window capability of the fused kernel through the relay (steps/s):
+# once a measurement window reaches this, the relay was quiet and further
+# windows cannot raise the honest number. A best-of below 85% of it is
+# flagged "contended" in the JSON line.
+_QUIET_SPS_FALLBACK = 55_000.0  # BASELINE.md / BENCH_r02 historical floor
+
+
+def _quiet_train_sps() -> float:
+    """Resolve the quiet-window reference from recorded artifacts, not a
+    hard-coded constant, so the threshold tracks the recorded baseline when
+    kernel capability legitimately changes: ``MULTIVAE_QUIET_SPS`` env
+    override > best on-TPU ``BENCH_r*.json`` headline > historical floor.
+    Degraded-mode rounds (non-TPU ``backend``/``note``) are excluded —
+    their numbers measure the fallback path, not quiet-window capability."""
+    env = os.environ.get("MULTIVAE_QUIET_SPS")
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            pass
+    best = 0.0
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("metric") != "mopoe_train_steps_per_sec":
+            continue
+        if parsed.get("backend") or parsed.get("note") or parsed.get("error"):
+            continue
+        try:
+            best = max(best, float(parsed.get("value") or 0.0))
+        except (TypeError, ValueError):
+            continue
+    return best if best > 0.0 else _QUIET_SPS_FALLBACK
+
+
+QUIET_TRAIN_SPS = _quiet_train_sps()
 MAX_TRAIN_WINDOWS = 12
 
 # watchdog wall-clock caps (module-level so tests can shrink them): two
@@ -480,8 +517,9 @@ def main():
         result["contended"] = True
         result["contention_note"] = (
             f"best window {train_sps:.0f} steps/s is below 85% of the "
-            f"historical quiet-window capability ({QUIET_TRAIN_SPS:.0f} "
-            f"steps/s, BASELINE.md) across {len(windows)} backoff-spaced "
+            f"recorded quiet-window capability ({QUIET_TRAIN_SPS:.0f} "
+            f"steps/s, best on-TPU BENCH_r*.json headline; override with "
+            f"MULTIVAE_QUIET_SPS) across {len(windows)} backoff-spaced "
             "windows — consistent with shared-pool contention for the "
             "whole run (a kernel regression would read the same way; "
             "compare moe_method_kernel_steps_per_sec and re-run in a "

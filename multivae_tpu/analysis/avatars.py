@@ -85,6 +85,10 @@ def analyze_avatars(dataset, datasetdir, outdir, run, n_validation=5,
                 f"{da.shape[0]}-member ensemble artifact")
         da, scores = da[model_idx], scores[model_idx]
         metadata = metadata[model_idx]
+    elif model_idx != 0:
+        raise ValueError(
+            f"model_idx {model_idx} requested but this run trained a single "
+            "model (num_models == 1); only model_idx 0 exists")
     da, scores, metadata = da[val_step], scores[val_step], metadata[val_step]
 
     rng = np.random.default_rng(seed)

@@ -47,11 +47,26 @@ class MetricLogger:
             with open(csv_path, "rb") as f:
                 f.seek(0, os.SEEK_END)
                 f.seek(max(0, f.tell() - 4096))
-                lines = [ln for ln in f.read().split(b"\n") if ln.strip()]
-            if not lines:
-                return 0
-            return int(lines[-1].split(b",", 1)[0]) + 1
-        except (OSError, ValueError):
+                raw = f.read()
+            # a session killed mid-write leaves a torn final line ('12' of
+            # step '123' still parses as an int) — only a line terminated by
+            # the newline the writer emits AND splitting into the 4 expected
+            # fields counts; otherwise fall back to the previous complete one
+            if not raw.endswith(b"\n"):
+                raw = raw[: raw.rfind(b"\n") + 1] if b"\n" in raw else b""
+            for ln in reversed(raw.split(b"\n")):
+                ln = ln.strip()
+                if not ln:
+                    continue
+                fields = ln.split(b",")
+                if len(fields) != 4:
+                    continue
+                try:
+                    return int(fields[0]) + 1
+                except ValueError:
+                    continue  # header row
+            return 0
+        except OSError:
             return 0
 
     def add_text(self, tag: str, text: str) -> None:

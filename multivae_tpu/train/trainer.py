@@ -371,7 +371,7 @@ def test_one_epoch(exp, model_idx, eval_fn, logger: Optional[MetricLogger],
                 if logger is not None:
                     logger.write_testing_logs(jax.device_get(metrics))
 
-    if ((epoch + 1) % cfg.eval_freq == 0 or (epoch + 1) == cfg.end_epoch):
+    if eval_breaks_after(cfg, epoch + 1) or (epoch + 1) == cfg.end_epoch:
         run_eval_cadence(exp, model_idx, logger, epoch + 1)
     return rng
 
@@ -409,8 +409,19 @@ def run_eval_cadence(exp, model_idx: int, logger, epoch_done: int) -> None:
     ``run_epochs.py:211-219``) plus latent-probe classification and
     conditional-generation coherence (the evals the reference *intended* —
     ``representation.py:19-134``, ``coherence.py:15-119`` — but that crash
-    upstream; fixed-forward behind ``calc_clf`` / ``calc_coherence``)."""
+    upstream; fixed-forward behind ``calc_clf`` / ``calc_coherence``).
+
+    Cadence gating lives HERE, per family: the ``eval_freq`` family
+    (nll/clf/coherence) fires at ``eval_freq`` multiples, PRD at
+    ``eval_freq_fid`` multiples, and both at the final epoch — so the
+    drivers may call this at every epoch ``eval_breaks_after`` flags and
+    each family still runs only on its own cadence (previously PRD was
+    silently skipped at fid-only epochs when ``eval_freq_fid`` was not a
+    multiple of ``eval_freq``)."""
     cfg = exp.cfg
+    final = epoch_done == cfg.end_epoch
+    on_freq = final or epoch_done % cfg.eval_freq == 0
+    on_fid = cfg.calc_prd and (final or epoch_done % cfg.eval_freq_fid == 0)
     # one conditional-generation pass per cadence hit, shared between the
     # PRD and coherence evals (its rng is fixed, so both previously
     # dispatched the exact same device pass twice)
@@ -422,24 +433,24 @@ def run_eval_cadence(exp, model_idx: int, logger, epoch_done: int) -> None:
             _cond.append(generate_conditional_samples(exp, model_idx))
         return _cond[0]
 
-    if cfg.calc_nll:
+    if cfg.calc_nll and on_freq:
         from ..eval.likelihood import estimate_likelihoods
         lhoods = estimate_likelihoods(exp, model_idx)
         if logger is not None:
             logger.write_lhood_logs(lhoods)
-    if cfg.calc_prd and (epoch_done % cfg.eval_freq_fid == 0):
+    if on_fid:
         from ..eval.sample_quality import calc_prd_score
         prd = calc_prd_score(exp, model_idx, samples=cond_samples())
         if logger is not None:
             logger.write_prd_scores(prd)
-    if getattr(cfg, "calc_clf", False):
+    if getattr(cfg, "calc_clf", False) and on_freq:
         from ..eval.representation import (
             test_clf_lr_all_subsets, train_clf_lr_all_subsets)
         clfs = train_clf_lr_all_subsets(exp, model_idx)
         accs = test_clf_lr_all_subsets(exp, clfs, model_idx)
         if logger is not None and accs:
             logger.write_lr_eval(accs)
-    if getattr(cfg, "calc_coherence", False):
+    if getattr(cfg, "calc_coherence", False) and on_freq:
         from ..eval.coherence import (
             evaluate_coherence, train_modality_classifiers)
         # the modality classifiers fit on the (static) train split —
@@ -627,7 +638,7 @@ def _run_member_chunked(exp, model_idx, fused_scan_fn, logger,
         if profile_first:
             jax.profiler.stop_trace()
         runner.write_logs(logger, flat, plans, log_every)
-        if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
+        if (eval_breaks_after(cfg, e + 1) or (e + 1) == cfg.end_epoch) \
                 and eval_cadence_active(cfg):
             run_eval_cadence(exp, model_idx, logger, e + 1)
         if progress:
@@ -743,7 +754,7 @@ def _run_ensemble_chunked(exp, ens_scan_fn, loggers, log_every: int = 1,
         flat = np.asarray(flat)
         runner.write_logs(loggers, flat, plans, log_every)
         e = epoch - 1
-        if ((e + 1) % cfg.eval_freq == 0 or (e + 1) == cfg.end_epoch) \
+        if (eval_breaks_after(cfg, e + 1) or (e + 1) == cfg.end_epoch) \
                 and eval_cadence_active(cfg):
             # chunk_plan breaks chunks at the eval cadence, so this runs
             # at exactly the epochs test_one_epoch would (same row order:

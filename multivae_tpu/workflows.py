@@ -191,9 +191,18 @@ def eval_exp(dataset, datasetdir, outdir, run, nll=True, prd=True,
             for l_key in sorted(accs or {}):
                 add(model_idx, "Latent Representation", l_key, accs[l_key])
         if coherence:
-            from .eval.coherence import evaluate_coherence
-            gen_eval = evaluate_coherence(experiment, model_idx,
-                                          samples=cond_samples())
+            from .eval.coherence import (
+                evaluate_coherence, train_modality_classifiers)
+            # fit the modality classifiers FIRST: degenerate labels train
+            # none and the eval returns {} — in that case skip the full
+            # conditional-generation device pass entirely (mirrors
+            # trainer.run_eval_cadence's classifier-cache check)
+            clfs_m = train_modality_classifiers(experiment, model_idx)
+            gen_eval = {}
+            if clfs_m is not None:
+                gen_eval = evaluate_coherence(experiment, model_idx,
+                                              clfs=clfs_m,
+                                              samples=cond_samples())
             for l_key in sorted(gen_eval.get("cond", {})):
                 for m_key, val in gen_eval["cond"][l_key].items():
                     add(model_idx, "Generation", f"{l_key}/{m_key}", val)

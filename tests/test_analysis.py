@@ -129,6 +129,11 @@ class TestPlotsAndPosthoc:
                                  n_subjects_to_plot=3, **kw)
         assert os.path.isdir(figdir)
         assert os.path.isfile(os.path.join(figdir, "avatars_vs_scores.png"))
+        # on a single-model run a nonzero model_idx must error, not
+        # silently analyze model 0
+        with pytest.raises(ValueError, match="single"):
+            analyze_avatars("synthetic", datasetdir, outdir, run,
+                            n_subjects_to_plot=3, model_idx=3, **kw)
 
     def test_assess_robustness(self, pipeline):
         datasetdir, outdir, run, resdir, _ = pipeline

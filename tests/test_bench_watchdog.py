@@ -179,6 +179,31 @@ def test_main_flags_contended_run(monkeypatch, capsys):
     assert "quiet-window capability" in res["contention_note"]
 
 
+def test_quiet_threshold_sourced_from_artifacts(tmp_path, monkeypatch):
+    """The contention threshold tracks the recorded baseline (best on-TPU
+    BENCH_r*.json headline, env-overridable) instead of a hard-coded
+    historical constant that would mislabel runs if kernel capability
+    legitimately changes."""
+    monkeypatch.setenv("MULTIVAE_QUIET_SPS", "12345")
+    assert bench._quiet_train_sps() == 12345.0
+    monkeypatch.delenv("MULTIVAE_QUIET_SPS")
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    # no artifacts at all: historical floor
+    assert bench._quiet_train_sps() == bench._QUIET_SPS_FALLBACK
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": {
+        "metric": "mopoe_train_steps_per_sec", "value": 70000.0}}))
+    # degraded rounds are excluded — they measure the fallback path
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"parsed": {
+        "metric": "mopoe_train_steps_per_sec", "value": 99999.0,
+        "backend": "cpu-fallback", "note": "degraded"}}))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"parsed": {
+        "metric": "mopoe_train_steps_per_sec", "value": 0.0,
+        "error": "every attempt failed"}}))
+    (tmp_path / "BENCH_r04.json").write_text("not json")
+    assert bench._quiet_train_sps() == 70000.0
+
+
 def test_main_notes_platform_mismatch(monkeypatch, capsys):
     res = _main_result(monkeypatch, capsys, {
         "train_sps": 290.0, "avatars_per_sec": 9.0e4, "moe_sps": None,

@@ -263,6 +263,43 @@ class TestTrainingHooks:
         # classifiers fit once per model across all hits
         assert len(fit_calls) == 1, fit_calls
 
+    def test_prd_fires_on_its_own_cadence(self, monkeypatch):
+        """With eval_freq_fid NOT a multiple of eval_freq, PRD must still
+        run at fid epochs (it was silently skipped there: the drivers only
+        invoked the cadence at eval_freq multiples). Each family fires on
+        its own cadence; both fire at the final epoch."""
+        from types import SimpleNamespace
+
+        from multivae_tpu.eval import likelihood as lh
+        from multivae_tpu.eval import sample_quality as sq
+        from multivae_tpu.train.trainer import (
+            eval_breaks_after, run_eval_cadence)
+
+        nll_epochs, prd_epochs, gen_epochs = [], [], []
+        cfg = SimpleNamespace(end_epoch=6, eval_freq=2, eval_freq_fid=3,
+                              calc_nll=True, calc_prd=True, calc_clf=False,
+                              calc_coherence=False)
+        exp = SimpleNamespace(cfg=cfg)
+        monkeypatch.setattr(lh, "estimate_likelihoods",
+                            lambda e, m: nll_epochs.append(cur[0]) or {})
+        monkeypatch.setattr(sq, "calc_prd_score",
+                            lambda e, m, samples=None:
+                            prd_epochs.append(cur[0]) or {})
+        monkeypatch.setattr(sq, "generate_conditional_samples",
+                            lambda e, m: gen_epochs.append(cur[0]))
+        cur = [0]
+        for epoch_done in range(1, cfg.end_epoch + 1):
+            cur[0] = epoch_done
+            # drivers call the cadence exactly when eval_breaks_after
+            # flags the epoch (plus the final epoch)
+            if eval_breaks_after(cfg, epoch_done) \
+                    or epoch_done == cfg.end_epoch:
+                run_eval_cadence(exp, 0, None, epoch_done)
+        assert nll_epochs == [2, 4, 6]
+        assert prd_epochs == [3, 6]
+        # the shared generation pass runs once per PRD hit only
+        assert gen_epochs == [3, 6]
+
 
 class TestCoherence:
     def test_conditional_coherence(self, small_exp):

@@ -516,3 +516,40 @@ class TestMetricLogger:
         lg2 = MetricLogger(str(tmp_path), use_tensorboard=False)
         assert lg2.step == 0
         lg2.close()
+
+    def test_resume_ignores_torn_final_line(self, tmp_path):
+        """A session killed mid-write leaves a torn final CSV line; '12'
+        of step '123' still parses as an int, which would make the resumed
+        session reuse step numbers. Only a newline-terminated 4-field line
+        counts; otherwise fall back to the previous complete one."""
+        from multivae_tpu.train.logging import MetricLogger
+
+        lg = MetricLogger(str(tmp_path), use_tensorboard=False)
+        for _ in range(3):
+            lg.write_training_logs({"loss": 1.0})
+        lg.close()
+        for torn in (b"12", b"12,tra", b"12,train,loss"):
+            with open(tmp_path / "metrics.csv", "rb") as f:
+                intact = f.read()
+            with open(tmp_path / "metrics.csv", "ab") as f:
+                f.write(torn)  # no trailing newline: torn write
+            lg2 = MetricLogger(str(tmp_path), use_tensorboard=False)
+            assert lg2.step == 3, torn
+            lg2.close()
+            with open(tmp_path / "metrics.csv", "wb") as f:
+                f.write(intact)
+
+    def test_resume_ignores_complete_but_short_line(self, tmp_path):
+        """A torn line that DID get its newline flushed (killed between
+        the two writes) must also be rejected when it has too few fields."""
+        from multivae_tpu.train.logging import MetricLogger
+
+        lg = MetricLogger(str(tmp_path), use_tensorboard=False)
+        for _ in range(2):
+            lg.write_training_logs({"loss": 1.0})
+        lg.close()
+        with open(tmp_path / "metrics.csv", "ab") as f:
+            f.write(b"99,train\n")
+        lg2 = MetricLogger(str(tmp_path), use_tensorboard=False)
+        assert lg2.step == 2
+        lg2.close()
