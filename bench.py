@@ -33,6 +33,35 @@ STEPS = 300
 AVATAR_SAMPLES = 150  # per-score decode sweep size for the avatars metric
 # (matches the reference's published DAA config, README.md:84 n_samples=150)
 
+# v5e per-chip bf16 MXU peak (TFLOP/s) — the standard MFU denominator.
+# The fused kernels run f32 matmuls (measured faster than bf16 at 256-row
+# shapes, BASELINE.md round 3), so MFU-vs-bf16-peak understates hardware
+# efficiency at the flagship batch; the batch_scaling stage shows where the
+# kernel leaves the launch-bound regime as shapes grow.
+V5E_BF16_PEAK_TFLOPS = 394.0
+# batch sizes for the scaling stage (each is its own Mosaic compile; only
+# run when the relay budget allows)
+SCALING_BATCHES = (1024, 4096, 8192)
+
+
+def flops_per_step(batch: int) -> float:
+    """Analytic train-step FLOPs for the flagship config at ``batch`` rows.
+
+    Counts matmul MACs only (elementwise ops are <2% at these shapes):
+    forward 2·MACs, backward 4·MACs (dW and dx each re-contract the same
+    operands), total 6·MACs — the standard transformer-style accounting
+    applied to this model's per-sample contractions: encoder trunks
+    (d_m·h), fused 4-head projections (h·2(cd+s_m)), decoders
+    ((s_m+cd)·d_m)."""
+    d1, d2 = DIMS
+    s1, s2 = STYLE
+    macs_per_sample = (
+        d1 * HIDDEN + HIDDEN * 2 * (CLASS_DIM + s1)
+        + d2 * HIDDEN + HIDDEN * 2 * (CLASS_DIM + s2)
+        + (s1 + CLASS_DIM) * d1 + (s2 + CLASS_DIM) * d2)
+    return 6.0 * macs_per_sample * batch
+
+
 # quiet-window capability of the fused kernel through the relay (steps/s):
 # once a measurement window reaches this, the relay was quiet and further
 # windows cannot raise the honest number. A best-of below 85% of it is
@@ -242,12 +271,73 @@ def bench_jax(deadline_s: float = 330.0, general: bool = False):
         if time_left() < deadline_s * 0.25:
             break
 
+    # batch-scaling stage (VERDICT r4 weak #2: "fast vs the silicon is
+    # unmeasured"): re-measure the fused epoch kernel at growing batch
+    # sizes to show where it leaves the launch-bound regime; each size is
+    # its own Mosaic compile, so the stage is budget-gated and each size
+    # individually guarded (8192-row blocks flirt with the VMEM budget)
+    scaling = []
+    if time_left() > deadline_s * 0.45:
+        scaling = _scaling_stage(jax, jnp, cfg, model, scan_fn, batch,
+                                 time_left, deadline_s)
+
     return _avatar_stage(jax, jnp, rng, model, params, batch, cfg,
-                         train_sps, moe_sps, window_sps)
+                         train_sps, moe_sps, window_sps, scaling=scaling)
+
+
+def _scaling_stage(jax, jnp, cfg, model, scan_fn, batch, time_left,
+                   deadline_s):
+    """Fused-epoch-kernel throughput at growing batch sizes.
+
+    Batches are drawn ON DEVICE (an upload of an 8192-row grid would cost
+    minutes through the ~15 MB/s relay); each size reports steps/s and the
+    analytic achieved TFLOP/s so BASELINE.md can carry a roofline row."""
+    from multivae_tpu.train.train_step import init_train_state
+
+    out = []
+    for b_sc in SCALING_BATCHES:
+        chunk = max(25, (800 * BATCH) // b_sc)
+        try:
+            key = jax.random.PRNGKey(b_sc)
+
+            def make_b(k, ch=chunk, b=b_sc):
+                return {
+                    "clinical": jax.random.normal(
+                        k, (ch, b, DIMS[0]), jnp.float32),
+                    "rois": jax.random.normal(
+                        jax.random.fold_in(k, 1), (ch, b, DIMS[1]),
+                        jnp.float32),
+                }
+
+            bbig = jax.jit(make_b)(key)
+            _ = float(bbig["rois"][0, 0, 0])
+            p_s, o_s = init_train_state(cfg, model, batch)
+            rngs_s = jax.random.split(jax.random.fold_in(key, 2), chunk)
+            p_s, o_s, ls, _m = scan_fn(p_s, o_s, bbig, rngs_s)
+            _ = float(ls[-1])  # compile + warm
+            best = 0.0
+            for _w in range(3):
+                t0 = time.perf_counter()
+                p_s, o_s, ls, _m = scan_fn(p_s, o_s, bbig, rngs_s)
+                _ = float(ls[-1])
+                best = max(best, chunk / (time.perf_counter() - t0))
+            out.append({
+                "batch": b_sc,
+                "steps_per_sec": round(best, 1),
+                "achieved_tflops": round(
+                    best * flops_per_step(b_sc) / 1e12, 2),
+            })
+        except Exception as exc:  # per-size guard: a VMEM overflow at one
+            # size must not cost the whole bench line
+            out.append({"batch": b_sc, "error": str(exc)[:160]})
+        if time_left() < deadline_s * 0.3:
+            break
+    return out
 
 
 def _avatar_stage(jax, jnp, rng, model, params, batch, cfg, train_sps,
-                  moe_sps, window_sps, general: bool = False):
+                  moe_sps, window_sps, general: bool = False,
+                  scaling=None):
     """Avatar decode throughput: one (sample x score) sweep over a
     50-subject batch (workflow.py:406-419 inner loops), fused Pallas
     path (general jitted path in CPU degraded mode: cfg=None)."""
@@ -276,6 +366,7 @@ def _avatar_stage(jax, jnp, rng, model, params, batch, cfg, train_sps,
         "moe_sps": moe_sps,
         "platform": jax.default_backend(),
         "train_windows": [round(w, 1) for w in window_sps],
+        "batch_scaling": scaling or [],
     }
 
 
@@ -513,6 +604,19 @@ def main():
     on_tpu = (backend == "tpu"
               or (backend == "in-process"
                   and payload.get("platform") == "tpu"))
+    # roofline accounting (VERDICT r4 weak #2): analytic FLOPs/step,
+    # achieved TFLOP/s and MFU against the v5e bf16 MXU peak — stated only
+    # for TPU-executed numbers (an MFU of a CPU fallback is meaningless).
+    # The flagship workload is launch-bound by design (0.5 GFLOP steps);
+    # batch_scaling shows the same kernel approaching the MXU-bound regime.
+    if on_tpu:
+        flops = flops_per_step(BATCH)
+        result["flops_per_step_mflop"] = round(flops / 1e6, 1)
+        result["achieved_tflops"] = round(train_sps * flops / 1e12, 2)
+        result["mfu_vs_v5e_bf16_peak"] = round(
+            train_sps * flops / 1e12 / V5E_BF16_PEAK_TFLOPS, 4)
+        if payload.get("batch_scaling"):
+            result["batch_scaling"] = payload["batch_scaling"]
     if on_tpu and train_sps < 0.85 * QUIET_TRAIN_SPS:
         result["contended"] = True
         result["contention_note"] = (

@@ -15,6 +15,7 @@ from .sample_quality import (
     calculate_fid_from_embeddings,
     calculate_fid_given_paths,
     calculate_frechet_distance,
+    load_embedding,
 )
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "calculate_fid_given_paths",
     "calculate_frechet_distance",
     "compute_prd",
+    "load_embedding",
     "compute_prd_from_embedding",
     "estimate_likelihoods",
     "plot",

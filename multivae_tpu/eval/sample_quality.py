@@ -48,10 +48,58 @@ def embedding_stats(x: np.ndarray):
     return x.mean(axis=0), np.cov(x, rowvar=False)
 
 
+def load_embedding(spec):
+    """Resolve an embedding spec to ``samples [N, D] -> features [N, E]``.
+
+    The reference pushes samples through InceptionV3 before the Frechet/PRD
+    statistics (``fid/inception.py:16-312``, ``fid_score.py:70-137``); for
+    the tabular cohorts here the identity is the right default, and this
+    hook closes the API gap for image-capable embeddings without vendoring
+    a vision model:
+
+    * ``None`` — identity (feature vectors ARE the embeddings);
+    * a callable — used as-is;
+    * ``"<path>.npz"`` — affine map ``x @ W (+ b)`` from arrays ``W``
+      (``[D, E]``) and optional ``b`` (``[E]``);
+    * ``"module:attr"`` — an imported callable (plug in any framework's
+      feature extractor).
+    """
+    if spec is None or callable(spec):
+        return spec
+    if isinstance(spec, str) and spec.endswith(".npz"):
+        with np.load(spec) as z:
+            w = np.asarray(z["W"], dtype=np.float64)
+            b = np.asarray(z["b"], dtype=np.float64) if "b" in z else None
+
+        def affine(x):
+            x = np.asarray(x, dtype=np.float64)
+            out = x @ w
+            return out + b if b is not None else out
+
+        return affine
+    if isinstance(spec, str) and ":" in spec:
+        import importlib
+
+        mod_name, attr = spec.split(":", 1)
+        fn = getattr(importlib.import_module(mod_name), attr)
+        if not callable(fn):
+            raise TypeError(f"embedding {spec!r} is not callable")
+        return fn
+    raise ValueError(
+        f"embedding spec {spec!r}: expected None, a callable, a .npz path "
+        "(arrays 'W'/'b') or 'module:attr'")
+
+
+def _embed(x, embedding):
+    return np.asarray(embedding(x)) if embedding is not None else x
+
+
 def calculate_fid_from_embeddings(eval_data: np.ndarray,
-                                  ref_data: np.ndarray) -> float:
-    mu1, s1 = embedding_stats(eval_data)
-    mu2, s2 = embedding_stats(ref_data)
+                                  ref_data: np.ndarray,
+                                  embedding=None) -> float:
+    embedding = load_embedding(embedding)
+    mu1, s1 = embedding_stats(_embed(eval_data, embedding))
+    mu2, s2 = embedding_stats(_embed(ref_data, embedding))
     return calculate_frechet_distance(mu1, s1, mu2, s2)
 
 
@@ -66,12 +114,16 @@ def _load_sample_dump(path: str) -> np.ndarray:
     return np.load(path)
 
 
-def calculate_fid_given_paths(path_eval: str, path_ref: str) -> float:
+def calculate_fid_given_paths(path_eval: str, path_ref: str,
+                              embedding=None) -> float:
     """FID between two sample dumps — stacked ``.npy`` files or
     per-sample dump directories (API parity with
-    ``fid_score.py:calculate_fid_given_paths``)."""
+    ``fid_score.py:calculate_fid_given_paths``). ``embedding`` maps the
+    samples through a feature extractor first (:func:`load_embedding` — the
+    slot the reference fills with InceptionV3)."""
     return calculate_fid_from_embeddings(_load_sample_dump(path_eval),
-                                         _load_sample_dump(path_ref))
+                                         _load_sample_dump(path_ref),
+                                         embedding=embedding)
 
 
 def save_generated_samples(exp, model_idx: int = 0,
@@ -161,20 +213,25 @@ def generate_random_samples(exp, model_idx: int = 0,
 
 
 def calc_prd_score(exp, model_idx: int = 0, num_clusters: int = 20,
-                   num_runs: int = 5, samples=None) -> Dict[str, float]:
+                   num_runs: int = 5, samples=None,
+                   embedding=None) -> Dict[str, float]:
     """PRD F-beta scores per (subset, modality)
     (``sample_quality.py:calc_prd_score`` adapted to feature embeddings).
     ``samples`` reuses an already computed ``generate_conditional_samples``
-    result (fixed rng — sharing changes nothing numerically)."""
+    result (fixed rng — sharing changes nothing numerically); ``embedding``
+    maps generated and real samples through a feature extractor first
+    (:func:`load_embedding`)."""
     gen, real = (samples if samples is not None
                  else generate_conditional_samples(exp, model_idx))
+    embedding = load_embedding(embedding)
     n = len(next(iter(real.values())))
     num_clusters = min(num_clusters, max(2, n // 5))
     scores: Dict[str, float] = {}
     for s_key, mods in gen.items():
         for m_key, samples in mods.items():
             prec, rec = compute_prd_from_embedding(
-                samples, real[m_key], num_clusters=num_clusters,
+                _embed(samples, embedding), _embed(real[m_key], embedding),
+                num_clusters=num_clusters,
                 num_runs=num_runs, seed=exp.cfg.seed)
             f_beta, f_beta_inv = prd_to_max_f_beta_pair(prec, rec)
             scores[f"prd_{s_key}_{m_key}"] = f_beta
@@ -182,12 +239,14 @@ def calc_prd_score(exp, model_idx: int = 0, num_clusters: int = 20,
     return scores
 
 
-def calc_fid_scores(exp, model_idx: int = 0) -> Dict[str, float]:
+def calc_fid_scores(exp, model_idx: int = 0,
+                    embedding=None) -> Dict[str, float]:
     """FID per (subset, modality) over feature embeddings."""
     gen, real = generate_conditional_samples(exp, model_idx)
+    embedding = load_embedding(embedding)
     scores: Dict[str, float] = {}
     for s_key, mods in gen.items():
         for m_key, samples in mods.items():
             scores[f"fid_{s_key}_{m_key}"] = calculate_fid_from_embeddings(
-                samples, real[m_key])
+                samples, real[m_key], embedding=embedding)
     return scores

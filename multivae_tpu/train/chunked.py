@@ -236,19 +236,30 @@ class ChunkRunner:
         n_esc, egroup_spec, n_eothers = eval_struct
         mod_names = [m.name for m in model.modalities]
         self.mod_names = mod_names
-        # remainder groups follow the shared mesh_for_rows policy (one
-        # definition with the per-epoch driver's remainder_scan_factory)
+        # remainder groups follow the SAME policies as the per-epoch
+        # driver's remainder_scan_factory: presence-/method-fused Pallas
+        # kernels when eligible (trainer.make_group_fused_epoch), the
+        # mesh_for_rows sharding rule otherwise — the drivers' numerical
+        # equivalence depends on routing each group identically
         from .train_step import mesh_for_rows
+        from .trainer import make_group_fused_epoch
 
         _scan_cache: Dict = {}
 
-        def group_fn_for(rows):
-            use_mesh = mesh_for_rows(mesh, rows)
-            key = use_mesh is not None
-            if key not in _scan_cache:
-                _scan_cache[key] = make_scan_train_step(
-                    cfg, model, mesh=use_mesh, donate=False)
-            return _scan_cache[key]
+        def group_fn_for(key):
+            fn = _scan_cache.get(key)
+            if fn is None:
+                if mesh is None:
+                    fn = make_group_fused_epoch(cfg, model, key)
+                if fn is None:
+                    use_mesh = mesh_for_rows(mesh, key[1])
+                    shared = ("general", use_mesh is not None)
+                    fn = _scan_cache.get(shared)
+                    if fn is None:
+                        fn = _scan_cache[shared] = make_scan_train_step(
+                            cfg, model, mesh=use_mesh, donate=False)
+                _scan_cache[key] = fn
+            return fn
 
         eval_fn = make_scan_eval_step(cfg, model)
         # residents are ARGUMENTS of the compiled chunk (not closure
@@ -283,7 +294,7 @@ class ChunkRunner:
         group_fns = []
         for (mods, rows), n_b in group_spec:
             b, r = tb(mods, rows, n_b)
-            fn = group_fn_for(rows)
+            fn = group_fn_for((mods, rows))
             group_fns.append(fn)
             keys = _metric_keys(fn, params, opt_state, b, r)
             group_keys.append(keys)

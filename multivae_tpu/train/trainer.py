@@ -38,6 +38,40 @@ def _to_device(batch: Dict[str, np.ndarray]):
     return {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
 
+def make_group_fused_epoch(cfg, model, key):
+    """Pallas epoch trainer for a remainder-group ``key = (mods, rows)``, or
+    ``None`` when the group is not kernel-eligible.
+
+    THE one group-kernel policy, shared by the per-epoch driver's
+    ``remainder_scan_factory`` and ``chunked.ChunkRunner`` so both drivers
+    route the same groups to the same kernels (their numerical-equivalence
+    pin, ``tests/test_chunked.py``, depends on it): complete partial-size
+    groups take the method kernel, single-present groups (the
+    ``allow_missing_blocks`` cohort reality, ``README.md:76-79`` +
+    ``multiblock_fetcher.py:102-119``) the presence kernel — both work for
+    any static row count, so at reference missingness EVERY training batch
+    runs inside Pallas."""
+    if not getattr(cfg, "fused_training", True):
+        return None
+    from ..ops import fused_methods as _fm
+    from ..ops import fused_presence as _fp
+
+    mods, _rows = key
+    mod_names = [m.name for m in model.modalities]
+    example = {m: None for m in mods}
+    interpret = jax.default_backend() == "cpu"
+    if len(mods) == len(mod_names):
+        if _fm.supports_method_fused(cfg, model, example):
+            return _fm.make_method_fused_epoch(cfg, model,
+                                               interpret=interpret)
+        return None
+    if _fp.supports_presence_fused(cfg, model, example):
+        mod_idx = mod_names.index(mods[0])
+        return _fp.make_presence_fused_epoch(cfg, model, mod_idx,
+                                             interpret=interpret)
+    return None
+
+
 def canonical_group_order(keys, mod_names, batch_size):
     """Deterministic processing order for (presence pattern, rows) groups.
 
@@ -119,7 +153,11 @@ def train_one_epoch(exp, model_idx, step_fn, logger: Optional[MetricLogger],
     # (train/chunked.py) can replay the exact same update sequence
     for key in canonical_group_order(groups, mod_names, cfg.batch_size):
         idx_list = groups[key]
-        if remainder_scan_factory is not None and len(idx_list) > 1:
+        if remainder_scan_factory is not None:
+            # every group takes the scan path (n=1 groups included): the
+            # factory may return a presence-/method-fused Pallas kernel, and
+            # the chunked driver runs ALL groups through these fns — keeping
+            # the drivers' update sequences identical requires doing so here
             scan_fn = remainder_scan_factory(key)
             stacked = {m: jax.numpy.asarray(
                 np.stack([general_batches[i][m] for i in idx_list]))
@@ -893,10 +931,15 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                               donate=cfg.donate_buffers,
                               shard_batch=key[1] % cfg.data_parallel == 0)
             else:
-                from .train_step import make_scan_train_step, mesh_for_rows
-                scan_fn = make_scan_train_step(
-                    cfg, exp.model, mesh=mesh_for_rows(mesh, key[1]),
-                    donate=cfg.donate_buffers)
+                if mesh is None:
+                    # presence-/method-fused Pallas kernel when eligible
+                    scan_fn = make_group_fused_epoch(cfg, exp.model, key)
+                if scan_fn is None:
+                    from .train_step import (make_scan_train_step,
+                                             mesh_for_rows)
+                    scan_fn = make_scan_train_step(
+                        cfg, exp.model, mesh=mesh_for_rows(mesh, key[1]),
+                        donate=cfg.donate_buffers)
             remainder_scan_cache[key] = scan_fn
         return scan_fn
 

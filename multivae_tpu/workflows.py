@@ -132,7 +132,8 @@ def train_exp(dataset, datasetdir, outdir, input_dims, num_models=1,
 
 
 def eval_exp(dataset, datasetdir, outdir, run, nll=True, prd=True,
-             clf=True, coherence=True, load_epoch: int = -1):
+             clf=True, coherence=True, load_epoch: int = -1,
+             embedding: str = None):
     """Post-hoc evaluation of a trained run: IWAE likelihoods, PRD,
     latent-probe classification and conditional-generation coherence on a
     saved checkpoint, without retraining.
@@ -141,8 +142,12 @@ def eval_exp(dataset, datasetdir, outdir, run, nll=True, prd=True,
     (``run_epochs.py:211-219``; its probe/coherence versions crash
     upstream), so evaluating an already-trained run required a full
     retrain there. ``load_epoch`` picks a specific checkpoint (default
-    latest). Results are printed and written to
-    ``<run>/eval/eval_<epoch>.tsv`` (model, family, metric, value rows).
+    latest). ``embedding`` maps samples through a feature extractor before
+    the PRD/FID statistics (``eval.sample_quality.load_embedding``: a
+    ``.npz`` affine map or ``module:attr`` callable — the slot the
+    reference fills with InceptionV3, ``fid/inception.py:16-312``).
+    Results are printed and written to ``<run>/eval/eval_<epoch>.tsv``
+    (model, family, metric, value rows).
     """
     expdir = os.path.join(outdir, run)
     flags_file = os.path.join(expdir, "flags.json")
@@ -181,7 +186,8 @@ def eval_exp(dataset, datasetdir, outdir, run, nll=True, prd=True,
         if prd:
             from .eval.sample_quality import calc_prd_score
             for key, val in calc_prd_score(
-                    experiment, model_idx, samples=cond_samples()).items():
+                    experiment, model_idx, samples=cond_samples(),
+                    embedding=embedding).items():
                 add(model_idx, "PRD", key, val)
         if clf:
             from .eval.representation import (

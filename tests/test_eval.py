@@ -443,3 +443,67 @@ class TestEvalCommand:
                         outdir=outdir, run=run, load_epoch=1,
                         prd=False, clf=False, coherence=False)
         assert out1.endswith("eval_0001.tsv") and os.path.exists(out1)
+
+
+class TestEmbeddingHook:
+    """The FID/PRD embedding slot (the reference fills it with InceptionV3,
+    fid/inception.py:16-312; here any feature extractor plugs in)."""
+
+    def test_identity_default(self):
+        from multivae_tpu.eval.sample_quality import (
+            calculate_fid_from_embeddings)
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(64, 6)).astype(np.float32)
+        b = rng.normal(loc=0.5, size=(64, 6)).astype(np.float32)
+        assert calculate_fid_from_embeddings(a, b) == pytest.approx(
+            calculate_fid_from_embeddings(a, b, embedding=None))
+
+    def test_linear_stub_npz_and_callable_agree(self, tmp_path):
+        from multivae_tpu.eval.sample_quality import (
+            calculate_fid_from_embeddings, load_embedding)
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(80, 6)).astype(np.float32)
+        b = rng.normal(loc=0.3, size=(80, 6)).astype(np.float32)
+        w = rng.normal(size=(6, 3)).astype(np.float32)
+        bias = rng.normal(size=(3,)).astype(np.float32)
+        path = str(tmp_path / "emb.npz")
+        np.savez(path, W=w, b=bias)
+        fid_npz = calculate_fid_from_embeddings(a, b, embedding=path)
+        fid_fn = calculate_fid_from_embeddings(
+            a, b, embedding=lambda x: np.asarray(x, np.float64) @ w + bias)
+        assert fid_npz == pytest.approx(fid_fn, rel=1e-6)
+        # the affine map changes the statistic vs identity
+        assert fid_npz != pytest.approx(
+            calculate_fid_from_embeddings(a, b), rel=1e-3)
+        emb = load_embedding(path)
+        np.testing.assert_allclose(emb(a), np.asarray(a, np.float64) @ w
+                                   + bias, rtol=1e-6)
+
+    def test_fid_given_paths_with_embedding(self, tmp_path):
+        from multivae_tpu.eval.sample_quality import (
+            calculate_fid_given_paths)
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(50, 4)).astype(np.float32)
+        b = rng.normal(loc=1.0, size=(50, 4)).astype(np.float32)
+        pa, pb = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+        np.save(pa, a)
+        np.save(pb, b)
+        np.savez(str(tmp_path / "e.npz"), W=np.eye(4, 2, dtype=np.float32))
+        fid = calculate_fid_given_paths(pa, pb,
+                                        embedding=str(tmp_path / "e.npz"))
+        assert np.isfinite(fid) and fid > 0
+
+    def test_module_attr_spec_and_errors(self):
+        from multivae_tpu.eval.sample_quality import load_embedding
+        fn = load_embedding("numpy:asarray")
+        assert callable(fn)
+        with pytest.raises(ValueError):
+            load_embedding("not-a-spec")
+        with pytest.raises(TypeError):
+            load_embedding("numpy:pi")
+
+    def test_prd_accepts_embedding(self, small_exp):
+        from multivae_tpu.eval.sample_quality import calc_prd_score
+        scores = calc_prd_score(small_exp, num_clusters=3, num_runs=2,
+                                embedding=lambda x: np.asarray(x)[:, :3])
+        assert scores and all(np.isfinite(v) for v in scores.values())
