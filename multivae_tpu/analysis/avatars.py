@@ -34,6 +34,32 @@ def _load_daa_dir(outdir, run, n_validation, n_subjects, M, n_samples,
                                        resdir_name(params)))
 
 
+def _load_avatars(resdir, rois_names):
+    """The avatar tensor for the scatter diagnostics: the full artifact
+    when present, else the ``--artifact sampled`` ROI subsample (a random
+    column subset — statistically equivalent input for plots that pick 3
+    random ROIs anyway, ``analyze_avatars.py:125``). Returns the tensor
+    and the ROI names matching its last axis."""
+    from .daa import SAMPLED_AVATARS_FILE, SAMPLED_ROIS_FILE
+
+    full = os.path.join(resdir, "rois_digital_avatars.npy")
+    if os.path.exists(full):
+        return np.load(full, mmap_mode="r"), rois_names
+    sub_file = os.path.join(resdir, SAMPLED_AVATARS_FILE)
+    if os.path.exists(sub_file):
+        sub_idx = np.load(os.path.join(resdir, SAMPLED_ROIS_FILE))
+        print_text(f"full avatar artifact absent; using the "
+                   f"{len(sub_idx)}-ROI subsample written by "
+                   f"--artifact sampled")
+        return (np.load(sub_file, mmap_mode="r"),
+                np.asarray(rois_names)[sub_idx])
+    raise FileNotFoundError(
+        f"{resdir} holds neither 'rois_digital_avatars.npy' (daa "
+        f"--artifact full) nor '{SAMPLED_AVATARS_FILE}' (--artifact "
+        f"sampled); daa-analysis needs one of them (stats-only runs "
+        f"serve only anova/daa-robustness)")
+
+
 def analyze_avatars(dataset, datasetdir, outdir, run, n_validation=5,
                     n_samples=200, n_subjects=50, M=1000,
                     reg_method="hierarchical",
@@ -73,8 +99,7 @@ def analyze_avatars(dataset, datasetdir, outdir, run, n_validation=5,
     rois_names = np.load(os.path.join(datasetdir, "rois_names.npy"),
                          allow_pickle=True)
 
-    da = np.load(os.path.join(resdir, "rois_digital_avatars.npy"),
-                 mmap_mode="r")
+    da, rois_names = _load_avatars(resdir, rois_names)
     scores = np.load(os.path.join(resdir, "sampled_scores.npy"))
     metadata = np.load(os.path.join(resdir, "metadatas.npy"),
                        allow_pickle=True)

@@ -43,8 +43,10 @@ from .stats import (
 )
 
 SAMPLING_STRATEGIES = ("linear", "uniform", "gaussian", "likelihood")
-ARTIFACT_MODES = ("full", "stats-only")
+ARTIFACT_MODES = ("full", "stats-only", "sampled")
 SUFFSTATS_FILE = "regression_suffstats.npz"
+SAMPLED_AVATARS_FILE = "rois_digital_avatars_sampled.npy"
+SAMPLED_ROIS_FILE = "sampled_rois_idx.npy"
 
 
 @partial(jax.jit, static_argnames=("roundtrip_dtype",))
@@ -396,7 +398,8 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
             reg_method: str = "hierarchical", sample_latents: bool = True,
             vote_prop: float = 1.0, chunk: int = 16,
             use_sharding="auto", exact_reconstruction="auto",
-            fetch_dtype: str = "float16", artifact: str = "full") -> str:
+            fetch_dtype: str = "float16", artifact: str = "full",
+            sampled_rois: int = 16) -> str:
     """Full DAA pipeline; returns the result directory.
 
     ``use_sharding``: shard the avatar perturbation grid over the device
@@ -425,8 +428,14 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
     ``all_coefs.npy``/``significant_rois.tsv``) are unchanged to
     float tolerance (the only difference is the f32-on-device vs
     f64-on-host level-1 reduction) and the downstream ``anova`` /
-    ``daa-robustness`` workflows still work; only ``daa-analysis``
-    (avatar scatter plots) needs ``"full"``."""
+    ``daa-robustness`` workflows still work; ``"sampled"`` is
+    stats-only PLUS a device-side random subsample of ``sampled_rois``
+    ROI columns fetched per round (``rois_digital_avatars_sampled.npy``
+    + ``sampled_rois_idx.npy``), enough for ``daa-analysis``'s
+    KDE/scatter diagnostics (``analyze_avatars.py:17-104`` plots 3
+    random ROIs) without the multi-GB full-artifact transfer — at
+    reference scale ~70 MB instead of ~1.9 GB crosses the wire. Only a
+    byte-exact replay of the full artifact still needs ``"full"``."""
     if sampling_strategy not in SAMPLING_STRATEGIES:
         raise ValueError("sampling_strategy must be either linear, uniform"
                          "gaussian or likelihood")
@@ -469,7 +478,18 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                 else experiment.dataset_test[0])
     n_subjects = min(n_subjects, len(complete_indices(testset0)))
 
-    stats_only = artifact == "stats-only"
+    stats_only = artifact in ("stats-only", "sampled")
+    roi_sub = None
+    if artifact == "sampled":
+        # own rng stream: the subset choice must not advance np_rng, so
+        # subject selection (and therefore every regression input) stays
+        # identical to a full/stats-only run at the same seed
+        sub_rng = np.random.default_rng((seed if seed is not None else 0)
+                                        + 17)
+        k_rois = min(int(sampled_rois), n_rois)
+        roi_sub = np.sort(sub_rng.choice(n_rois, size=k_rois,
+                                         replace=False)).astype(np.int32)
+        roi_sub_dev = jnp.asarray(roi_sub)
     rois_digital_avatars = None
     if not stats_only:
         da_file = os.path.join(resdir, "rois_digital_avatars.npy")
@@ -479,13 +499,20 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
             shape = shape[1:]
         rois_digital_avatars = open_memmap(da_file, dtype="float32",
                                            mode="w+", shape=shape)
+    elif artifact == "sampled":
+        print_text(f"artifact=sampled: device-side regression sufficient "
+                   f"statistics + a {len(roi_sub)}-ROI avatar subsample "
+                   f"per round (serves daa-analysis without the full "
+                   f"artifact transfer)")
     else:
         print_text("artifact=stats-only: reducing each round to regression "
                    "sufficient statistics on device (daa-analysis needs "
-                   "artifact=full; anova/daa-robustness are unaffected)")
+                   "artifact=full or sampled; anova/daa-robustness are "
+                   "unaffected)")
 
     all_sampled_scores, all_metadatas, all_rois_reconstructions = [], [], []
     all_suffstats = []  # per model: list of per-round (ysum, xysum, yysum)
+    all_sub_avatars = []  # sampled mode: per model, per-round [B, S, P, K]
     metadata_columns = None
     pending = None  # (model_idx, val_idx, device avatars) awaiting fetch
 
@@ -513,7 +540,7 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
 
         test_complete = complete_indices(testset)
         sampled_scores, metadatas, rois_recs = [], [], []
-        suffstats_rounds = []
+        suffstats_rounds, sub_avatar_rounds = [], []
         for val_idx in range(n_validation):
             print_text(f"validation round {val_idx + 1}/{n_validation}")
             sel = np_rng.choice(test_complete, size=n_subjects,
@@ -554,6 +581,14 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
                 suffstats_rounds.append(_device_suffstats(
                     avatars, jnp.asarray(scores_values),
                     roundtrip_dtype=rt))  # device; drained once per model
+                if roi_sub is not None:
+                    # keep the subsampled columns at the full artifact's
+                    # wire dtype so their values match a full-mode run's
+                    # on-disk columns exactly
+                    sub = avatars[..., roi_sub_dev]
+                    if fetch_dtype != "float32":
+                        sub = sub.astype(jnp.dtype(fetch_dtype))
+                    sub_avatar_rounds.append(sub)  # device; drained once
             else:
                 if fetch_dtype != "float32":
                     # halve the device->host bytes; widened to f32 on write
@@ -575,6 +610,10 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
         # no large artifact transfer is left to hide them behind
         rois_recs = jax.device_get(rois_recs)
         suffstats_rounds = jax.device_get(suffstats_rounds)
+        if roi_sub is not None:
+            all_sub_avatars.append(
+                [np.asarray(a, dtype=np.float32)
+                 for a in jax.device_get(sub_avatar_rounds)])
         # stored layout: [B, n_samples, n_scores] (workflow.py:420-422)
         sampled_scores = [np.swapaxes(s, 0, 1)
                           for s in jax.device_get(sampled_scores)]
@@ -600,6 +639,14 @@ def run_daa(experiment, cfg, datasetdir: str, daadir: str,
         if n_models == 1:
             stacked = {k: v[0] for k, v in stacked.items()}
         np.savez(os.path.join(resdir, SUFFSTATS_FILE), **stacked)
+        if roi_sub is not None:
+            # [(n_models,) n_validation, B, S, P, K] float32 + the ROI
+            # index map back into rois_names
+            sub_arr = np.asarray(all_sub_avatars, dtype=np.float32)
+            if n_models == 1:
+                sub_arr = sub_arr[0]
+            np.save(os.path.join(resdir, SAMPLED_AVATARS_FILE), sub_arr)
+            np.save(os.path.join(resdir, SAMPLED_ROIS_FILE), roi_sub)
     else:
         rois_digital_avatars.flush()
         del rois_digital_avatars

@@ -18,28 +18,49 @@ import jax
 import numpy as np
 from flax import serialization
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """Crash-safe file write: serialize to ``<path>.tmp``, fsync, then
+    ``os.replace`` into place. A SIGKILL at any instant leaves either the
+    previous complete file or none — never a torn one (the failure mode
+    the crash-resume fault test injects)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 def save_checkpoint(ckpt_dir: str, params, opt_state=None,
                     model_save: str = "model") -> str:
+    """Write one epoch checkpoint crash-safely.
+
+    ``opt_state`` is written BEFORE the model file: ``find_checkpoint``
+    only discovers epoch dirs through their ``model`` file, so ordering
+    the pair this way makes the checkpoint atomic as a unit — a crash
+    between the two writes leaves a dir that resume never selects, and
+    once ``model`` appears its ``opt_state`` is already complete.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, model_save)
-    with open(path, "wb") as fh:
-        fh.write(serialization.to_bytes(jax.device_get(params)))
     if opt_state is not None:
-        with open(os.path.join(ckpt_dir, "opt_state"), "wb") as fh:
-            fh.write(serialization.to_bytes(jax.device_get(opt_state)))
+        _atomic_write(os.path.join(ckpt_dir, "opt_state"),
+                      serialization.to_bytes(jax.device_get(opt_state)))
+    _atomic_write(path, serialization.to_bytes(jax.device_get(params)))
     return path
 
 
 def save_networks(checkpoints_dir: str, params) -> None:
     """Per-modality encoder/decoder dumps (``BaseMMVae.save_networks``,
     ``BaseMMVae.py:315-322``): files ``enc_<mod>`` / ``dec_<mod>`` at the
-    checkpoints root, overwritten at each save."""
+    checkpoints root, overwritten at each save (atomically, so a crash
+    mid-overwrite cannot tear the previous dump)."""
     os.makedirs(checkpoints_dir, exist_ok=True)
     host = jax.device_get(params)
     for key, sub in host.items():
         if key.startswith("enc_") or key.startswith("dec_"):
-            with open(os.path.join(checkpoints_dir, key), "wb") as fh:
-                fh.write(serialization.to_bytes(sub))
+            _atomic_write(os.path.join(checkpoints_dir, key),
+                          serialization.to_bytes(sub))
 
 
 def restore_checkpoint(path: str, params_template):

@@ -55,10 +55,11 @@ class EpochPlan:
     (the rng-assignment order of the per-epoch driver).
     """
 
-    def __init__(self, fused_rows, groups, n_general):
+    def __init__(self, fused_rows, groups, n_general, epoch: int = 0):
         self.fused_rows = fused_rows            # {mod: [n_fused, B]} | None
         self.groups = groups                    # {key: (rows, enum_idx)}
         self.n_general = n_general
+        self.epoch = epoch                      # absolute epoch (rng keying)
 
     @property
     def n_fused(self):
@@ -138,7 +139,7 @@ def plan_train_epoch(cfg, dataset, mod_names, epoch: int,
         fused_rows = {m: np.stack([b[m] for b in fused]) for m in mod_names}
     return EpochPlan(fused_rows,
                      _group(general, mod_names, cfg.batch_size),
-                     len(general))
+                     len(general), epoch=epoch)
 
 
 def plan_eval_epoch(cfg, dataset, mod_names, epoch: int) -> EvalPlan:
@@ -316,7 +317,12 @@ class ChunkRunner:
                                                eval_dev)
 
         def epoch_body(carry, x, resident_dev, eval_dev):
-            p, o, rng = carry
+            # the carried key is the member's BASE key, never advanced:
+            # each epoch's stream is fold_in(base, epoch), exactly the
+            # per-epoch driver's derivation, so resume from any epoch
+            # replays the uninterrupted run's stream bit-for-bit
+            p, o, rng0 = carry
+            rng = jax.random.fold_in(rng0, x["epoch"])
             outs = []
             if n_fused:
                 rng, sub = jax.random.split(rng)
@@ -345,7 +351,7 @@ class ChunkRunner:
             flat = (jnp.concatenate(
                 [jnp.asarray(v, jnp.float32).reshape(-1) for v in outs])
                 if outs else jnp.zeros((0,), jnp.float32))
-            return (p, o, rng), flat
+            return (p, o, rng0), flat
 
         def run_chunk(params, opt_state, rng, resident_dev, eval_dev, xs):
             # xs leaves are [n_seg, seg_len, ...]: an outer scan over
@@ -389,7 +395,7 @@ class ChunkRunner:
             a = np.stack(arrs)
             return a.reshape((n_seg, seg_len) + a.shape[1:])
 
-        xs: Dict = {}
+        xs: Dict = {"epoch": seg([np.int32(p.epoch) for p in plans])}
         if n_fused:
             xs["fused"] = {m: seg([p.fused_rows[m] for p in plans])
                            for m in self.mod_names}

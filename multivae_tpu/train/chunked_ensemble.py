@@ -53,11 +53,13 @@ class MemberPlan:
     groups whose ``enum_idx`` are STREAM indices too (the ensemble driver
     keys rng subs and log cadence off them)."""
 
-    def __init__(self, common_rows, common_idx, groups, stream_len):
+    def __init__(self, common_rows, common_idx, groups, stream_len,
+                 epoch: int = 0):
         self.common_rows = common_rows          # {mod: [n_common, B]} | None
         self.common_idx = common_idx            # int32 [n_common] | None
         self.groups = groups                    # {key: (rows, stream_idx)}
         self.stream_len = stream_len
+        self.epoch = epoch                      # absolute epoch (rng keying)
 
     def structure(self):
         return (tuple((k, v[1].shape[0]) for k, v in self.groups.items()),
@@ -104,7 +106,7 @@ def plan_ensemble_epoch(cfg, datasets, mod_names,
                    if i not in in_common]
         plans.append(MemberPlan(common, cidx,
                                 _group(general, mod_names, cfg.batch_size),
-                                len(items)))
+                                len(items), epoch=epoch))
     return n_common, plans
 
 
@@ -205,7 +207,13 @@ class EnsembleChunkRunner:
             egroup_keys.append(per_member)
 
         def epoch_body(carry, x, res, eres):
-            p, o, rngs = carry
+            # carried keys are the members' BASE keys, never advanced:
+            # each epoch folds its absolute index in (the per-epoch
+            # ensemble driver's exact derivation), so resume replays the
+            # uninterrupted run's stream bit-for-bit
+            p, o, rngs0 = carry
+            rngs = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                rngs0, x["epoch"])
             outs = []
             # one split per stream batch per member, drawn up front in
             # stream order (train_one_epoch_ensemble's exact scheme)
@@ -257,11 +265,10 @@ class EnsembleChunkRunner:
                     _, em = eval_fn(p_m, eb, esubs[x["eenum"][m_i][gi]])
                     outs += [em[k] for k in egroup_keys[m_i][gi]]
                 new_rngs[m_i] = r
-            rngs = jnp.stack(new_rngs)
             flat = (jnp.concatenate(
                 [jnp.asarray(v, jnp.float32).reshape(-1) for v in outs])
                 if outs else jnp.zeros((0,), jnp.float32))
-            return (p, o, rngs), flat
+            return (p, o, rngs0), flat
 
         def run_chunk(params, opt_state, rngs, res, eres, xs):
             def seg_body(carry, seg_xs):
@@ -294,7 +301,7 @@ class EnsembleChunkRunner:
             a = np.stack(arrs)
             return a.reshape((n_seg, seg_len) + a.shape[1:])
 
-        xs: Dict = {}
+        xs: Dict = {"epoch": seg([np.int32(p[0].epoch) for p in plans])}
         if self.n_common:
             xs["common"] = [
                 {m: seg([p[m_i].common_rows[m] for p in plans])

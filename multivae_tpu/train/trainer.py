@@ -961,20 +961,26 @@ def run_epochs(exp, use_tensorboard: bool = True, log_every: int = 1,
                                 profile_dir=profile_dir, mesh=mesh)
             logger.close()
             continue
-        rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
+        base_rng = jax.random.PRNGKey(cfg.seed + 1000 * model_idx)
         t0 = time.time()
         for epoch in range(cfg.start_epoch, cfg.end_epoch):
             if (profile_dir is not None and model_idx == 0
                     and epoch == cfg.start_epoch):
                 jax.profiler.start_trace(profile_dir)
+            # epoch-keyed rng: each epoch's stream is a pure function of
+            # (seed, model_idx, epoch), so a resumed run replays the exact
+            # stream of the uninterrupted run from cfg.start_epoch on —
+            # the property the crash-resume fault test pins. The chunked
+            # drivers fold identically inside their scans.
+            rng = jax.random.fold_in(base_rng, epoch)
             rng, n_steps = train_one_epoch(
                 exp, model_idx, step_fn, logger, rng, log_every,
                 fused_scan_fn=fused_scan_fn,
                 step_fn_remainder=step_fn_remainder,
                 shard_multiple=cfg.data_parallel, epoch=epoch,
                 remainder_scan_factory=remainder_scan_factory)
-            rng = test_one_epoch(exp, model_idx, eval_fn, logger, rng,
-                                 epoch, scan_eval_fn=scan_eval_fn)
+            test_one_epoch(exp, model_idx, eval_fn, logger, rng,
+                           epoch, scan_eval_fn=scan_eval_fn)
             if (profile_dir is not None and model_idx == 0
                     and epoch == cfg.start_epoch):
                 jax.profiler.stop_trace()
@@ -1062,18 +1068,21 @@ def run_epochs_ensemble(exp, use_tensorboard: bool = True,
     step_fn = make_train_step(cfg, exp.model, donate=cfg.donate_buffers)
     eval_fn = make_eval_step(cfg, exp.model)
     scan_eval_fn = make_scan_eval_step(cfg, exp.model)
-    rngs = [jax.random.PRNGKey(cfg.seed + 1000 * m)
-            for m in range(cfg.num_models)]
+    base_rngs = [jax.random.PRNGKey(cfg.seed + 1000 * m)
+                 for m in range(cfg.num_models)]
     t0 = time.time()
     for epoch in range(cfg.start_epoch, cfg.end_epoch):
         if profile_dir is not None and epoch == cfg.start_epoch:
             jax.profiler.start_trace(profile_dir)
+        # epoch-keyed rng (see the single-member loop): resume replays the
+        # uninterrupted stream exactly
+        rngs = [jax.random.fold_in(b, epoch) for b in base_rngs]
         rngs, _ = train_one_epoch_ensemble(exp, ens_scan_fn, step_fn,
                                            loggers, rngs, log_every,
                                            epoch=epoch)
         for m in range(cfg.num_models):
-            rngs[m] = test_one_epoch(exp, m, eval_fn, loggers[m], rngs[m],
-                                     epoch, scan_eval_fn=scan_eval_fn)
+            test_one_epoch(exp, m, eval_fn, loggers[m], rngs[m],
+                           epoch, scan_eval_fn=scan_eval_fn)
         if profile_dir is not None and epoch == cfg.start_epoch:
             jax.profiler.stop_trace()
         if (epoch + 1) % 5 == 0 or (epoch + 1) == cfg.end_epoch:

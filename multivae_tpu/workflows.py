@@ -269,7 +269,7 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
             trust_level=0.75, seed=1037, reg_method="hierarchical",
             sample_latents=True, vote_prop=1.0, chunk=16,
             use_sharding="auto", exact_reconstruction="auto",
-            fetch_dtype="float16", artifact="full"):
+            fetch_dtype="float16", artifact="full", sampled_rois=16):
     """Digital avatars analysis (``workflow.py:185-539``): perturb one
     clinical score at a time, decode ROI avatars, regress avatar on score per
     ROI and vote Bonferroni-significant associations.
@@ -282,8 +282,11 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
     exact fetch — the on-disk artifact is float32 either way);
     ``artifact=stats-only`` skips the avatar artifact entirely and reduces
     each round to device-side regression sufficient statistics (same
-    pvalues/coefs/significant ROIs to float tolerance; ``daa-analysis``
-    needs ``full``, ``anova``/``daa-robustness`` work either way)."""
+    pvalues/coefs/significant ROIs to float tolerance;
+    ``anova``/``daa-robustness`` work either way);
+    ``artifact=sampled`` adds a ``sampled_rois``-column ROI subsample of
+    the avatars so ``daa-analysis`` runs too, without the multi-GB full
+    artifact; only a byte-exact full-artifact replay needs ``full``."""
     from .analysis.daa import run_daa
 
     print_title(f"DIGITAL AVATARS ANALYSIS: {dataset}")
@@ -301,7 +304,8 @@ def daa_exp(dataset, datasetdir, outdir, run, sampling_strategy="likelihood",
                      sample_latents=sample_latents, vote_prop=vote_prop,
                      chunk=chunk, use_sharding=use_sharding,
                      exact_reconstruction=exact_reconstruction,
-                     fetch_dtype=fetch_dtype, artifact=artifact)
+                     fetch_dtype=fetch_dtype, artifact=artifact,
+                     sampled_rois=sampled_rois)
     return resdir
 
 

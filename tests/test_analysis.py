@@ -379,6 +379,77 @@ class TestDaaVariants:
             assert np.all((pv >= 0) & (pv <= 1))
 
 
+class TestSampledArtifact:
+    SAMPLED_KW = dict(n_validation=2, n_samples=12, n_subjects=10, M=4,
+                      trust_level=0.7, seed=11, chunk=8)
+
+    def test_sampled_columns_match_full_artifact(self, pipeline, tmp_path):
+        """artifact=sampled keeps a random ROI-column subsample of the
+        avatars whose values are byte-equal to the full artifact's
+        corresponding columns (both route the same wire dtype), plus the
+        stats-only regression outputs."""
+        from multivae_tpu.analysis.daa import (
+            SAMPLED_AVATARS_FILE,
+            SAMPLED_ROIS_FILE,
+            SUFFSTATS_FILE,
+            run_daa,
+        )
+        from multivae_tpu.workflows import _load_trained
+
+        datasetdir, outdir, run, _, _ = pipeline
+        experiment, cfg = _load_trained(outdir, run)
+        r_full = run_daa(experiment, cfg, datasetdir, str(tmp_path / "full"),
+                         artifact="full", **self.SAMPLED_KW)
+        r_sub = run_daa(experiment, cfg, datasetdir, str(tmp_path / "sub"),
+                        artifact="sampled", sampled_rois=5,
+                        **self.SAMPLED_KW)
+        assert not os.path.isfile(
+            os.path.join(r_sub, "rois_digital_avatars.npy"))
+        assert os.path.isfile(os.path.join(r_sub, SUFFSTATS_FILE))
+        sub_idx = np.load(os.path.join(r_sub, SAMPLED_ROIS_FILE))
+        assert len(sub_idx) == 5 and len(set(sub_idx.tolist())) == 5
+        da_full = np.load(os.path.join(r_full, "rois_digital_avatars.npy"))
+        da_sub = np.load(os.path.join(r_sub, SAMPLED_AVATARS_FILE))
+        assert da_sub.shape == (2, 10, N_SCORES, 12, 5)
+        np.testing.assert_array_equal(da_sub, da_full[..., sub_idx])
+        # regression outputs: stats-only equivalence
+        pv_f = np.load(os.path.join(r_full, "pvalues.npy"))
+        pv_s = np.load(os.path.join(r_sub, "pvalues.npy"))
+        np.testing.assert_allclose(pv_s, pv_f, atol=2e-4)
+
+    def test_daa_analysis_runs_off_sampled_artifact(self, pipeline):
+        """daa-analysis (KDE + scatter diagnostics) serves from the
+        sampled artifact when the full one was never written."""
+        from multivae_tpu.analysis.daa import run_daa
+        from multivae_tpu.workflows import _load_trained
+
+        datasetdir, outdir, run, _, _ = pipeline
+        experiment, cfg = _load_trained(outdir, run)
+        daadir = os.path.join(outdir, run, "daa")
+        resdir = run_daa(experiment, cfg, datasetdir, daadir,
+                         artifact="sampled", sampled_rois=5,
+                         **self.SAMPLED_KW)
+        assert not os.path.isfile(
+            os.path.join(resdir, "rois_digital_avatars.npy"))
+        kw = {k: v for k, v in self.SAMPLED_KW.items()
+              if k not in ("chunk", "trust_level")}
+        figdir = analyze_avatars("synthetic", datasetdir, outdir, run,
+                                 n_subjects_to_plot=3, **kw)
+        assert os.path.isfile(os.path.join(figdir, "avatars_vs_scores.png"))
+        clinical_names = np.load(
+            os.path.join(datasetdir, "clinical_names.npy"),
+            allow_pickle=True)
+        for score in clinical_names:
+            assert os.path.isfile(
+                os.path.join(figdir, f"sampled_scores_{score}.png"))
+
+    def test_missing_both_artifacts_is_explicit(self, pipeline, tmp_path):
+        from multivae_tpu.analysis.avatars import _load_avatars
+
+        with pytest.raises(FileNotFoundError, match="sampled"):
+            _load_avatars(str(tmp_path), np.array(["a", "b"]))
+
+
 class TestEuaimsCohortName:
     def test_euaims_contract(self, tmp_path):
         """The euaims cohort name drives the same multiblock contract."""

@@ -75,7 +75,8 @@ def bench_daa(workdir: str, datadir: str, outdir: str, run: str,
 
     # distinct seed per artifact mode -> distinct result dirs, so both can
     # be timed against the same trained run without clobbering each other
-    seed = 1037 if artifact == "full" else 1038
+    seed = {"full": 1037, "stats-only": 1038,
+            "sampled": 1039}[artifact]
     t0 = time.perf_counter()
     daa_exp(dataset="synthetic", datasetdir=datadir, outdir=outdir,
             run=run, n_validation=20, n_samples=150, n_subjects=50,
@@ -104,7 +105,7 @@ def main() -> None:
                                   num_epochs=args.num_epochs)
                 last_train = res
                 print(json.dumps(res), flush=True)
-        elif stage in ("daa", "daa-stats"):
+        elif stage in ("daa", "daa-stats", "daa-sampled"):
             if last_train is None:
                 # reuse the newest trained run already in the workdir, so
                 # DAA can be re-timed alone (e.g. in a better relay window)
@@ -121,8 +122,9 @@ def main() -> None:
             print(json.dumps(bench_daa(
                 args.workdir, datadir, last_train["outdir"],
                 last_train["run"],
-                artifact=("stats-only" if stage == "daa-stats"
-                          else "full"))), flush=True)
+                artifact={"daa-stats": "stats-only",
+                          "daa-sampled": "sampled",
+                          "daa": "full"}[stage])), flush=True)
         else:
             print(json.dumps({"error": f"unknown stage {stage!r}"}))
             sys.exit(1)
